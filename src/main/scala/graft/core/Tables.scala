@@ -1,0 +1,69 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Table access + output-normalization helpers shared by every query.
+  *
+  * Scale posture: all readers are plain parquet scans (Iceberg DSv2 catalog
+  * in production config — same code path, different `format`); column
+  * pruning/predicate pushdown are left to Catalyst, so callers should
+  * `.select` early and filter with `Column` predicates only.
+  */
+object Tables {
+
+  /** Read one of the driver-generated tables under `sfDir`. */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+
+  def orders(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+
+  def customer(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "customer")
+
+  /** Round every DoubleType column to `scale` decimals.
+    *
+    * The driver's correctness gate hashes values computed by two engines
+    * (Spark vs DuckDB); double aggregates differ in ulps between them
+    * (partial-aggregation summation order), so verify outputs are rounded
+    * on BOTH sides to the same scale. 6 decimals swallows ~1e-12 relative
+    * error on O(1e4) magnitudes while still distinguishing real mismatches.
+    */
+  def roundDoubles(df: DataFrame, scale: Int = 6): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == DoubleType) round(col(f.name), scale).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** NaN→NULL for verify outputs (engine-internal math keeps NaN for numpy
+    * parity; the DuckDB compare is NULL-based). */
+  def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
+  /** Event time → epoch microseconds for any orderable ts type. NTZ
+    * timestamps (what the parquet test tables carry) are interpreted in
+    * the session timezone (pinned UTC) — matching DuckDB's epoch_us on
+    * naive timestamps. */
+  def tsMicros(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+      case _ => c.cast("long")
+    }
+}
