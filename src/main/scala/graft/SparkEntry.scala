@@ -18,10 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.all
+    graft.queries.CoreQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.EmbedQueries.all ++
+      graft.queries.SeqQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracle
+    graft.queries.CoreQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.EmbedQueries.oracle ++
+      graft.queries.SeqQueries.oracle
 }

@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Windows
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokens-table pipeline + training-data text ops over `documents`.
+  *
+  * The tokens table (north-rule input shape: doc_id, tokens:array<int>,
+  * n_tok) is derived DETERMINISTICALLY from documents.text as per-word
+  * lengths — the identical derivation is written in the DuckDB oracle, so
+  * the whole pipeline (build → explode → window → n-gram) is hash-checked
+  * end-to-end. All outputs are integer-derived (exact in both engines,
+  * no rounding needed) unless noted.
+  */
+object TextQueries {
+
+  private def toks: Column =
+    transform(split(col("text"), " "), w => length(w))
+
+  /** Tokens-table construction: schema + per-row invariants
+    * (n_tok = size(tokens), first/last/sum of the token array). */
+  def qTokensBuild(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tok"),
+        aggregate(col("tokens"), lit(0), (a, x) => a + x).as("tok_sum"),
+        array_max(col("tokens")).as("tok_max"),
+        element_at(col("tokens"), 1).as("tok_first"),
+        element_at(col("tokens"), -1).as("tok_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exploded sequence view + per-doc rolling window over token positions
+    * (posexplode = the engine's tokens→SeqPoint contract; window = count
+    * windows over pos). Anchors every 4th position. */
+  def qTokensWindow(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val f = w.rowsBetween(-7, 0)
+    val s1 = sum(col("tok")).over(f)
+    val s2 = sum(col("tok") * col("tok")).over(f)
+    val nf = count(lit(1)).over(f)
+    val m = s1 / nf
+    exploded.select(col("doc_id"), col("pos"), col("tok"),
+      (s1 / nf).as("w_mean"),
+      sqrt(s2 / nf - m * m).as("w_std"))
+      .where((col("pos") - 1) % 4 === 0)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Sequence n-gram profile: distinct unigrams/bigrams per doc (token
+    * vocabulary features for training-data curation). */
+  def qTokensBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    exploded
+      .withColumn("bigram", col("tok") * 1000 + lead(col("tok"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_unigram"),
+        countDistinct(col("bigram")).as("n_bigram"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact deduplication: content-hash groups with representative doc
+    * (min doc_id) — the hash-groupBy dedup pattern. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc"))
+      .orderBy(col("content_hash"))
+  }
+
+  /** Near-duplicate detection by exact word-level Jaccard over doc pairs
+    * (doc_id < 120): inverted-index self-join — the exact counterpart the
+    * MinHash/LSH path approximates. Integer-ratio output, unrounded. */
+  def qWordJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < 120)
+    val words = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+    val nWords = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"))
+    val a = words.as("a")
+    val b = words.as("b")
+    val inter = a.join(b, col("a.word") === col("b.word") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(nWords.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("nw", "na"), Seq("a_id"))
+      .join(nWords.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("nw", "nb"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("inter") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.25)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Text quality scoring: word/char counts, mean word length, stopword
+    * ratio, BPE-ish token estimate, composite quality score. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+      "for", "with", "as", "by", "at", "from", "or", "an")
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val sumLen = aggregate(toks, lit(0), (acc, x) => acc + x)
+    val nStop = size(filter(words, w => w.isInCollection(stops)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      nWords.as("n_words"),
+      col("n_chars"),
+      (sumLen / nWords).as("avg_word_len"),
+      (nStop / nWords.cast("double")).as("stop_ratio"),
+      ceil(col("n_chars") / 4.0).cast("long").as("bpe_est"),
+      (nStop / nWords.cast("double") * 0.5 +
+        least(nWords / 100.0, lit(1.0)) * 0.5).as("quality_score")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID from English-stopword density, compared to the
+    * labeled lang column. */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+      "for", "with", "as", "by", "at", "from", "or", "an")
+    val words = split(col("text"), " ")
+    val ratio = size(filter(words, w => w.isInCollection(stops))) /
+      size(words).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      ratio.as("en_stop_ratio"),
+      when(ratio >= 0.05, "en").otherwise("other").as("pred_lang"),
+      (when(ratio >= 0.05, "en").otherwise("other") === col("lang"))
+        .as("agree")
+    ).orderBy(col("doc_id"))
+  }
+
+  /** Multimodal-column plumbing: text bytes treated as an opaque binary
+    * payload with typed metadata; the decode step is a clearly-marked
+    * deterministic STUB (no image/audio libs in this container) — the
+    * schema/partitioning/metadata path is the real, tested part. */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).as("byte_len"),
+      substring(md5(payload), 1, 8).as("sig"),
+      // STUB decode: deterministic fake image metadata derived from size.
+      (lit(32) + col("n_chars") % 224).as("fake_width"),
+      (lit(32) + (col("n_chars") * 7) % 224).as("fake_height"),
+      (lit(1) + col("n_chars") % 16).as("fake_frames")
+    ).orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, CoreQueries.Q] = Map(
+    "q_tokens_build" -> (qTokensBuild _),
+    "q_tokens_window" -> (qTokensWindow _),
+    "q_tokens_bigrams" -> (qTokensBigrams _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_word_jaccard" -> (qWordJaccard _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_multimodal_meta" -> (qMultimodalMeta _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_tokens_build" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+        |  FROM documents)
+        |SELECT doc_id, len(tokens) AS n_tok,
+        |  list_sum(tokens) AS tok_sum,
+        |  list_max(tokens) AS tok_max,
+        |  tokens[1] AS tok_first,
+        |  tokens[len(tokens)] AS tok_last
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_tokens_window" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, i AS pos, tokens[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(tokens))) AS u(i)),
+        |s AS (
+        |  SELECT doc_id, pos, tok,
+        |    sum(tok) OVER f / count(*) OVER f AS w_mean,
+        |    sqrt(sum(tok*tok) OVER f / count(*) OVER f
+        |      - (sum(tok) OVER f / count(*) OVER f)
+        |        * (sum(tok) OVER f / count(*) OVER f)) AS w_std
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT * FROM s WHERE (pos - 1) % 4 = 0
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_tokens_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, i AS pos, tokens[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(tokens))) AS u(i)),
+        |g AS (
+        |  SELECT doc_id, tok,
+        |    tok * 1000 + lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS bigram
+        |  FROM e)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  count(DISTINCT tok) AS n_unigram,
+        |  count(DISTINCT bigram) AS n_bigram
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS rep_doc
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_word_jaccard" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id, u.word
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+        |  WHERE doc_id < 120),
+        |nw AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+        |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |  inter / (na.nw + nb.nw - inter) AS jaccard
+        |FROM inter
+        |JOIN nw na ON na.doc_id = a_id
+        |JOIN nw nb ON nb.doc_id = b_id
+        |WHERE inter / (na.nw + nb.nw - inter) >= 0.25
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    string_split(text, ' ') AS words,
+        |    list_transform(string_split(text, ' '), w -> length(w)) AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  len(words) AS n_words,
+        |  n_chars,
+        |  list_sum(toks) / len(words) AS avg_word_len,
+        |  len(list_filter(words, w -> w IN ('the','a','of','and','to','in',
+        |    'is','on','for','with','as','by','at','from','or','an')))
+        |    / len(words)::DOUBLE AS stop_ratio,
+        |  ceil(n_chars / 4.0)::BIGINT AS bpe_est,
+        |  len(list_filter(words, w -> w IN ('the','a','of','and','to','in',
+        |    'is','on','for','with','as','by','at','from','or','an')))
+        |    / len(words)::DOUBLE * 0.5
+        |    + least(len(words) / 100.0, 1.0) * 0.5 AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), w -> w IN ('the','a',
+        |      'of','and','to','in','is','on','for','with','as','by','at',
+        |      'from','or','an')))
+        |      / len(string_split(text, ' '))::DOUBLE AS ratio
+        |  FROM documents)
+        |SELECT doc_id, lang, ratio AS en_stop_ratio,
+        |  CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+        |  (CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'other' END) = lang
+        |    AS agree
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  strlen(text) AS byte_len,
+        |  substr(md5(text), 1, 8) AS sig,
+        |  32 + n_chars % 224 AS fake_width,
+        |  32 + (n_chars * 7) % 224 AS fake_height,
+        |  1 + n_chars % 16 AS fake_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
