@@ -9,13 +9,24 @@ import org.apache.spark.sql.functions._
   */
 object Geo {
 
-  /** Haversine distance in km (distance.py:4-19). Uses the code constant
-    * 2r = 12742.018 (r = 6371.009 — the docstring's 6371 is wrong). */
+  /** Code-parity Earth diameter (distance.py:18): 2r = 12742.018 km.
+    *
+    * Reference inconsistency, preserved and documented: the reference's
+    * own test goldens (tests/location/test_distance.py:22 "assumes
+    * r=6371") were computed with 2r = 12742.0, so the shipped test suite
+    * diverges from the shipped code by a factor 12742.018/12742
+    * (≈1.4e-6 relative — outside pytest.approx). We default to the CODE
+    * constant; GeoSpec ports the goldens under the TEST constant. */
+  val TwoR: Double = 12742.018
+  val TwoRTestGoldens: Double = 12742.0
+
+  /** Haversine distance in km (distance.py:4-19). */
   def haversine(lat1: Column, lon1: Column,
-                lat2: Column, lon2: Column): Column = {
+                lat2: Column, lon2: Column,
+                twoR: Double = TwoR): Column = {
     val dLat = radians(lat2) - radians(lat1)
     val dLon = radians(lon2) - radians(lon1)
-    lit(12742.018) * asin(sqrt(
+    lit(twoR) * asin(sqrt(
       pow(sin(dLat / 2.0), 2) +
         cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2.0), 2)))
   }
