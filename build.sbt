@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+) ++ (
+  // benchmarking: fixed, pre-touched heap so lazy page-faulting never
+  // pollutes timed regions (set SPARK_BENCH_HEAP=1 in bench runs)
+  if (sys.env.contains("SPARK_BENCH_HEAP"))
+    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-XX:+AlwaysPreTouch")
+  else Nil
 )

@@ -1,24 +1,119 @@
 package graft
+
+import graft.core.TokenGen
+import graft.pipeline.FeaturePipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Two measurements, one JSON line:
+  *
+  * 1. SCALING (the BASELINE.json north-rule criterion, sandbox proxy):
+  *    the flagship feature pipeline over the deterministic synthetic
+  *    tokens table, run at local[N_LOW] and local[N_HIGH] cores on the
+  *    SAME input; reports feature-vectors/sec at both and efficiency
+  *    = (tput_high / tput_low) / (N_HIGH / N_LOW). Target ≥ 0.8.
+  *
+  * 2. Per-query wall times for every SparkEntry query on
+  *    SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS (driver contract).
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_BENCH_DOCS (default 20000), SPARK_GRAFT_SCALE_LOW (8).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  /** NB: shuffle partitions are FIXED across parallelism levels (128) so
+    * the low- and high-core runs execute the IDENTICAL physical plan —
+    * the scaling measurement varies cores only, as a cluster would vary
+    * executors against a fixed partitioning. */
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", 128)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Materialize every column without collecting (noop DSv2 sink). */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def flagshipSecs(spark: SparkSession, tokensPath: String): (Long, Double) = {
+    val points = spark.read.parquet(tokensPath)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("entity_id"),
+        org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("tokens"))
+          .as(Seq("pos", "tok")))
+      .select(org.apache.spark.sql.functions.col("entity_id"),
+        org.apache.spark.sql.functions.col("pos").cast("long").as("ts"),
+        org.apache.spark.sql.functions.col("tok").cast("double").as("value"))
+    val cfg = FeaturePipeline.Config(wsize = 64L, wstep = 32L,
+      minWindowLen = 4L, sessionGap = 8L, maxStaleness = Some(128L))
+    val out = FeaturePipeline.run(spark, points, "entity_id", "ts",
+      "value", cfg)
+    val t0 = System.nanoTime()
+    materialize(out)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rows = points.count() // = output vectors (one per entity×ts)
+    (rows, secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val low = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "8").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+
+    // --- write the deterministic tokens table once (not timed) ---
+    val tokensPath = s"/tmp/graft_bench_tokens_$nDocs"
+    locally {
+      val s = session(cpus)
+      if (!new java.io.File(s"$tokensPath/_SUCCESS").exists()) {
+        TokenGen.docs(s, nDocs, skewed = true, numPartitions = cpus * 4)
+          .write.mode("overwrite").parquet(tokensPath)
+      }
+      s.stop()
+    }
+
+    // --- scaling proxy: low cores, then high cores, same input.
+    // Each level gets one UNTIMED warm-up pass first (JIT + codegen +
+    // shuffle-path warm-up; a cluster bench would do the same), and the
+    // timed pass is the second run. Run with SPARK_BENCH_HEAP=1 so the
+    // JVM heap is pre-touched and page faults stay out of timed regions.
+    // This sandbox shows high run-to-run variance (shared host, ~10%
+    // steal time), so each level takes the MEDIAN of `reps` timed passes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def measure(cores: Int): (Long, Double, Seq[Double]) = {
+      val s = session(cores)
+      try {
+        flagshipSecs(s, tokensPath) // warm-up, discarded
+        val runs = (1 to reps).map(_ => flagshipSecs(s, tokensPath))
+        val times = runs.map(_._2).sorted
+        (runs.head._1, times(times.length / 2), runs.map(_._2))
+      } finally s.stop()
+    }
+    val (rowsL, secsLow, runsLow) = measure(low)
+    val (rows, secsHigh, runsHigh) = measure(cpus)
+    val tputLow = rowsL / secsLow
+    val tputHigh = rows / secsHigh
+    val eff = (tputHigh / tputLow) / (cpus.toDouble / low)
+    val sHigh = session(cpus)
+
+    // --- per-query timings on the driver's sf dir ---
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(sHigh, sfDir)) }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    println(
+      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"scaling":{"rows":$rows,"cores_low":$low,"cores_high":$cpus,"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f}}""")
+    sHigh.stop()
   }
 }

@@ -12,16 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the full windowed-feature pipeline (rolling stats per entity). */
+    * Runs the full north-rule pipeline: sessionize → anchored window
+    * features → point-in-time as-of join (one vector per entity×ts). */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.CoreQueries.qRollingStats(spark, "/root/testdata/sf0.001")
+    graft.queries.PipelineQueries.qFeaturePipeline(
+      spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.EmbedQueries.all ++
-      graft.queries.SeqQueries.all
+      graft.queries.SeqQueries.all ++
+      graft.queries.PipelineQueries.all ++
+      graft.queries.DedupQueries.all ++
+      graft.queries.SignalQueries.all ++
+      graft.queries.InertialQueries.all ++
+      graft.queries.FractalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +36,10 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.TextQueries.oracle ++
       graft.queries.EmbedQueries.oracle ++
-      graft.queries.SeqQueries.oracle
+      graft.queries.SeqQueries.oracle ++
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.SignalQueries.oracle ++
+      graft.queries.InertialQueries.oracle ++
+      graft.queries.FractalQueries.oracle
 }

@@ -63,7 +63,19 @@ object Windows {
     */
   def anchoredWindows(points: DataFrame, entityCol: String, tsCol: String,
                       wsize: Long, wstep: Long, minWindowLen: Long,
-                      aggs: Seq[Column]): DataFrame = {
+                      aggs: Seq[Column]): DataFrame =
+    anchoredWindowsWith(points, entityCol, tsCol, wsize, wstep,
+      minWindowLen)(_ => aggs)
+
+  /** Like [[anchoredWindows]], but the aggregate builder receives the
+    * window-start column, so slice-exact aggregates can gate on it — e.g.
+    * rmssd must only count successive-diff pairs whose BOTH points lie in
+    * the window (prev_ts >= window_start), matching a numpy slice diff. */
+  def anchoredWindowsWith(points: DataFrame, entityCol: String,
+                          tsCol: String, wsize: Long, wstep: Long,
+                          minWindowLen: Long)
+                         (aggsOf: Column => Seq[Column]): DataFrame = {
+    val aggs = aggsOf(col("__first") + col("__k") * wstep)
     require(wsize > 0 && wstep > 0)
     val we = Window.partitionBy(col(entityCol))
     val pts = points

@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication battery over `documents` / `embeddings`:
+  * MinHash+LSH, SimHash, and embedding-cosine near-duplicates — the
+  * approximate counterparts to the exact hash-groupBy (q_dedup_exact)
+  * and exact word-Jaccard (q_word_jaccard) queries.
+  *
+  * Cross-engine determinism: every hash is md5 (bit-identical in Spark
+  * and DuckDB); minhash takes MINIMUMs of md5 hex strings (string order
+  * is portable), SimHash extracts bits from md5 hex chars via ascii()%2.
+  * No engine-specific hash functions anywhere.
+  *
+  * Scale design: LSH is the 100-TB path — candidate generation is an
+  * EQUI-join on (band index, band hash): shuffle-partitionable, AQE-
+  * splittable, no all-pairs blowup; the exact-verify step runs only on
+  * candidates. The brute-force pair scans here exist to verify recall
+  * and are capped to small doc subsets.
+  */
+object DedupQueries {
+
+  private val K = 16      // minhash signature length
+  private val Bands = 4   // LSH bands (rows per band = K/Bands = 4)
+
+  /** Word 3-shingles per doc, distinct: (doc_id, sh). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "w")))
+    val w2 = words.select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"),
+      col("w").as("wb"))
+    val w3 = words.select(col("doc_id").as("d3"), (col("pos") - 2).as("p3"),
+      col("w").as("wc"))
+    words.join(w2, col("doc_id") === col("d2") && col("pos") === col("p2"))
+      .join(w3, col("doc_id") === col("d3") && col("pos") === col("p3"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("wb"), col("wc")).as("sh"))
+      .distinct()
+  }
+
+  /** MinHash signatures: sig_i = min(md5(i || '|' || shingle)). */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val sigCols = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"sig$i"))
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** MinHash + LSH banding: candidate pairs from band-bucket collisions,
+    * then exact Jaccard verification on candidates only. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sig = signatures(sh)
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until K / Bands).map(r => col(s"sig${b * (K / Bands) + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // exact Jaccard on candidates
+    val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a_id", "b_id"), "left")
+      .join(na.select(col("doc_id").as("a_id"), col("n").as("nsa")), Seq("a_id"))
+      .join(na.select(col("doc_id").as("b_id"), col("n").as("nsb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        col("nsa"), col("nsb"),
+        (coalesce(col("inter"), lit(0L)) /
+          (col("nsa") + col("nsb") - coalesce(col("inter"), lit(0L))))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash (16-bit, md5-derived bits): per-doc fingerprint plus
+    * near-dup pairs at Hamming distance <= 2 among doc_id < 200. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(ascii(substring(col("h"), j + 1, 1)) % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val agg = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val sims = agg.select(col("doc_id"), fp.as("simhash"))
+    val a = sims.where(col("doc_id") < 200)
+      .select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = sims.where(col("doc_id") < 200)
+      .select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Embedding-cosine near-duplicates: exact pairs with cos >= 0.9
+    * among vec_id < 400 (brute-force verification tier of ANN dedup). */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 400)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    broadcast(a).join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))),
+          6).as("cos_sim"))
+      .where(col("cos_sim") >= 0.9)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Random-hyperplane LSH bucketing for ANN (the scale path of
+    * q_embed_topk): 8 deterministic integer-arithmetic hyperplanes;
+    * output = bucket histogram (bucket, n, mean vec norm). Bucket-local
+    * search cost is proportional to the largest bucket — the histogram
+    * IS the skew diagnostic. */
+  def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, p) => acc + p)
+    val emb = Tables.embeddings(spark, dir)
+    // h_i[d] = +1 if ((i*2654435761 + d*40503) mod 97) < 48 else -1:
+    // integer arithmetic, identical in any engine.
+    val dim = 64
+    val planes = (0 until 8).map { i =>
+      val signs = (0 until dim).map { d =>
+        if (((i.toLong * 2654435761L + d.toLong * 40503L) % 97) < 48) 1.0
+        else -1.0
+      }
+      array(signs.map(lit): _*)
+    }
+    val bucket = planes.zipWithIndex.map { case (h, i) =>
+      when(dot(col("embedding"), h) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 6).as("mean_norm"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Map[String, CoreQueries.Q] = Map(
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_ann_lsh_buckets" -> (qAnnLshBuckets _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_minhash_lsh" -> {
+      val sigExprs = (0 until K)
+        .map(i => s"min(md5('$i|' || sh)) AS sig$i").mkString(",\n        |    ")
+      val bandRows = (0 until Bands).map { b =>
+        val parts = (0 until K / Bands).map(r => s"sig${b * (K / Bands) + r}")
+        s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || ")}) AS bh FROM sig"
+      }.mkString("\n        |  UNION ALL ")
+      s"""WITH words AS (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents)),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    $sigExprs
+        |  FROM sh GROUP BY doc_id),
+        |buckets AS (
+        |  $bandRows),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
+        |    AND x.doc_id < y.doc_id),
+        |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+        |  GROUP BY c.a_id, c.b_id)
+        |SELECT c.a_id, c.b_id, coalesce(i.inter, 0) AS inter,
+        |  na.n AS nsa, nb.n AS nsb,
+        |  coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
+        |    AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        |JOIN ns na ON na.doc_id = c.a_id
+        |JOIN ns nb ON nb.doc_id = c.b_id
+        |WHERE coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
+        |  >= 0.5
+        |ORDER BY c.a_id, c.b_id""".stripMargin
+    },
+    "q_simhash" -> {
+      val bitSums = (0 until 16).map(j =>
+        s"sum(CASE WHEN ascii(substr(md5(w), ${j + 1}, 1)) % 2 = 1 " +
+          s"THEN 1 ELSE -1 END) AS s$j").mkString(",\n        |    ")
+      val fp = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id,
+        |    $bitSums
+        |  FROM words WHERE len(w) > 0 GROUP BY doc_id),
+        |sims AS (SELECT doc_id, $fp AS simhash FROM agg)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  a.simhash AS ha, b.simhash AS hb,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sims a JOIN sims b
+        |  ON a.doc_id < b.doc_id AND a.doc_id < 200 AND b.doc_id < 200
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY a_id, b_id""".stripMargin
+    },
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |        x -> x::DOUBLE * x::DOUBLE)))
+        |      * sqrt(list_sum(list_transform(b.embedding,
+        |        x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |        x -> x::DOUBLE * x::DOUBLE)))
+        |      * sqrt(list_sum(list_transform(b.embedding,
+        |        x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_ann_lsh_buckets" -> {
+      val planeExprs = (0 until 8).map { i =>
+        val signs = (0 until 64).map { d =>
+          if (((i.toLong * 2654435761L + d.toLong * 40503L) % 97) < 48)
+            "1.0" else "-1.0"
+        }
+        s"CASE WHEN list_sum(list_transform(list_zip(embedding, " +
+          s"[${signs.mkString(",")}]), p -> p[1]::DOUBLE * p[2])) > 0 " +
+          s"THEN ${1L << i} ELSE 0 END"
+      }.mkString("\n        |    + ")
+      s"""WITH b AS (
+        |  SELECT vec_id,
+        |    $planeExprs AS bucket,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |  FROM embeddings)
+        |SELECT bucket, count(*) AS n, round(avg(nrm), 6) AS mean_norm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
+  )
+}

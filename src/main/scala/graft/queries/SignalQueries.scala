@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.signal.{Butterworth, Ppg, Qrs, SampEn, PerEntity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stateful signal-processing queries (SURVEY.md §2.6) over `events`,
+  * treating each user's value series as a 32 Hz signal. These operators
+  * are sequential per-entity scans (IIR filtering, adaptive-threshold
+  * decision rules, O(n²) entropy) — not SQL-expressible, so the driver
+  * records rows-only checks (no oracleSql entries); their numeric
+  * semantics are covered by SignalSpec's analytic/property fixtures.
+  */
+object SignalQueries {
+
+  private val Fs = 128.0
+
+  /** events as a per-user series at row-number positions (fs-agnostic). */
+  private def series(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id").cast("string").as("entity_id"),
+        col("rn").as("t"), col("value"))
+  }
+
+  /** Longer deterministic series (up to 2048 samples @128 Hz) from the
+    * synthetic tokens table — the QRS/PPG pipelines need fs ≥ 2·25 Hz
+    * for their filter bands and >10 s of signal for the PPG warm-up,
+    * which the sparse events series cannot supply. */
+  private def tokenSeries(spark: SparkSession): DataFrame =
+    graft.core.TokenGen.points(graft.core.TokenGen.docs(spark, 64))
+      .select(col("entity_id"), col("ts").as("t"), col("value"))
+
+  /** Zero-phase Butterworth lowpass (0.2·Nyquist, order 4) per user —
+    * the reference's `butterworth`/`linear_filter`/`gravity_filter`
+    * family (filters.py:8-35, accelerometer.py:77-195). */
+  def qFiltfilt(spark: SparkSession, dir: String): DataFrame = {
+    val c = Butterworth.design(4, Seq(0.2), Butterworth.Lowpass)
+    PerEntity.transform(spark, series(spark, dir),
+      "entity_id", "t", "value") { (ts, vs) =>
+      if (vs.length <= 3 * (c.a.length max c.b.length))
+        Iterator.empty // shorter than filtfilt padlen: no output
+      else Butterworth.filtfilt(c, vs).iterator.zip(ts.iterator)
+        .map { case (v, t) => (t, v) }
+    }.select(col("entity_id"), col("t"),
+      round(col("out"), 6).as("filtered"))
+      .orderBy(col("entity_id"), col("t"))
+  }
+
+  /** Hamilton–Tompkins R-peak pipeline per doc series (qrs.py:59-197). */
+  def qRpeaks(spark: SparkSession, dir: String): DataFrame = {
+    PerEntity.selectIndices(spark, tokenSeries(spark),
+      "entity_id", "t", "value") { vs =>
+      if (vs.length <= 120) Array.empty
+      else Qrs.rpeaksHamiltonTompkins(vs, Fs)
+    }.select(col("entity_id"), col("t").as("peak_pos"),
+      round(col("out"), 6).as("value"))
+      .orderBy(col("entity_id"), col("peak_pos"))
+  }
+
+  /** Physionet PPG pulse-onset pipeline per doc series (ppg.py:11-93). */
+  def qPulseOnsets(spark: SparkSession, dir: String): DataFrame = {
+    PerEntity.selectIndices(spark, tokenSeries(spark),
+      "entity_id", "t", "value") { vs =>
+      if (vs.length <= Fs.toInt * 10) Array.empty
+      else Ppg.pulseOnsetPhysionet(vs, Fs.toInt)
+    }.select(col("entity_id"), col("t").as("onset_pos"),
+      round(col("out"), 6).as("value"))
+      .orderBy(col("entity_id"), col("onset_pos"))
+  }
+
+  /** Sample entropy per user (information.py:23-113): one O(n²) scan
+    * over each bounded series. */
+  def qSampen(spark: SparkSession, dir: String): DataFrame = {
+    PerEntity.transform(spark, series(spark, dir),
+      "entity_id", "t", "value") { (_, vs) =>
+      Iterator.single((0L, SampEn.sampen(vs)))
+    }.select(col("entity_id"),
+      round(Tables.nanToNull(col("out")), 6).as("sampen"))
+      .orderBy(col("entity_id"))
+  }
+
+  val all: Map[String, CoreQueries.Q] = Map(
+    "q_filtfilt" -> (qFiltfilt _),
+    "q_rpeaks" -> (qRpeaks _),
+    "q_pulse_onsets" -> (qPulseOnsets _),
+    "q_sampen" -> (qSampen _)
+  )
+
+  /** Intentionally empty: sequential IIR recursions and adaptive decision
+    * rules have no ANSI-SQL equivalent; the driver applies rows-only
+    * checks and SignalSpec carries the numeric verification. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -152,6 +152,62 @@ def kurt_b2(x):                         # stats.py:113-126 (non-excess)
     return float(np.mean((x - np.mean(x)) ** 4) / v ** 2)
 
 
+def sampen_pairs(x, mm=2, r_factor=0.2):
+    """Template-pair-count sample entropy (the definition the reference's
+    run-length algorithm computes; equivalence asserted below)."""
+    n = len(x)
+    r = r_factor * np.std(x)
+    last = n - mm - 1
+    a = b = 0
+    for u in range(last + 1):
+        for v in range(u + 1, last + 1):
+            if max(abs(x[u + k] - x[v + k]) for k in range(mm)) < r:
+                b += 1
+                if abs(x[u + mm] - x[v + mm]) < r:
+                    a += 1
+    return -math.log(a / b) if a and b else float("nan")
+
+
+def sampen_runlength(x, mm=2, r_factor=0.2):
+    """Streak-based formulation (information.py:23-113 semantics),
+    written independently: for every pair offset, walk the diagonal and
+    count streaks of matching samples."""
+    n = len(x)
+    r = r_factor * np.std(x)
+    a = b = 0
+    for off in range(1, n):            # v - u = off
+        streak = 0
+        for u in range(n - off):
+            if abs(x[u] - x[u + off]) < r:
+                streak += 1
+            else:
+                streak = 0
+            # a match ENDING at (u, u+off) of length >= L contributes to
+            # templates of length L; reference bounds: end index < n for
+            # A (len mm+1), end < n-1 for B (len mm), then B shifts down
+            if streak >= mm + 1:
+                a += 1
+            if streak >= mm and u + off < n - 1:
+                b += 1
+    return -math.log(a / b) if a and b else float("nan")
+
+
+def dfa(x, windows, o=1, overlap=0):       # timedom.py:196-235
+    xp = np.cumsum(x - np.mean(x))
+    fs = []
+    for w in windows:
+        s = max(int(w * (100 - overlap) / 100), 1)
+        nwin = (len(xp) - w) // s + 1
+        rms = []
+        for k in range(nwin):
+            seg = xp[k * s:k * s + w]
+            res = np.polyfit(np.arange(w), seg, o, full=True)[1]
+            ssr = res[0] if len(res) else 0.0
+            rms.append(math.sqrt(ssr / w))
+        fs.append(np.nanmean(rms))
+    return float(np.polyfit(np.log(windows), np.log(fs), 1)[0])
+
+
 def jlist(a):
     return [None if (isinstance(v, float) and math.isnan(v)) else v
             for v in (a.tolist() if isinstance(a, np.ndarray) else a)]
@@ -268,6 +324,56 @@ def main():
         cw_w=16, cw_s=8, cw_n=int(len(cw_mean)),
         cw_mean=jlist(cw_mean),
     ), open(f"{OUT}/windows.json", "w"), indent=1)
+
+    # ---- signal.json: sampen on doc 6 ----
+    xs = tokens(6)[:200].astype(float)
+    se_pairs = sampen_pairs(xs)
+    se_runs = sampen_runlength(xs)
+    assert abs(se_pairs - se_runs) < 1e-12, (se_pairs, se_runs)
+    xs2 = 800.0 + (tokens(6)[:200] % 50).astype(float)  # smoother series
+    xd = tokens(1)[:256].astype(float)
+    json.dump(dict(
+        n=int(len(xs)), sampen=se_pairs,
+        sampen_smooth=sampen_pairs(xs2),
+        std_pop=float(np.std(xs)),
+        dfa_windows=[4, 8, 16, 32, 64],
+        dfa_exponent=dfa(xd, [4, 8, 16, 32, 64]),
+        dfa_overlap50=dfa(xd, [8, 16, 32], overlap=50),
+    ), open(f"{OUT}/signal.json", "w"), indent=1)
+
+    # ---- spectral.json: FFT goldens + DIRECT non-uniform DFT oracle ----
+    xq = tokens(9)[:256].astype(float)
+    xc = xq - xq.mean()
+    F = np.fft.fft(xc)
+    nn = len(xc) // 2
+    freqs = np.fft.fftfreq(len(xc), d=1.0 / 128)[:nn]  # fs = 128
+    psd = np.abs(F)[:nn]
+    # NUFFT oracle: exact direct sum (independent of the fast algorithm)
+    t2 = tokens(2)[:128]
+    xs_nu = np.cumsum(1 + (t2 % 97)).astype(float) * 0.001
+    c_nu = t2.astype(float) - t2.astype(float).mean()
+    M = 64
+    ks = np.arange(-(M // 2), M - (M // 2)).astype(float)
+    Fd = np.array([np.sum(c_nu * np.exp(1j * k * xs_nu)) for k in ks])
+    Fd /= len(xs_nu)
+    json.dump(dict(
+        n=int(len(xc)), fs=128,
+        fft_re_head=F.real[:8].tolist(), fft_im_head=F.imag[:8].tolist(),
+        psd_sum=float(np.abs(F).sum()),
+        band_power_5_15=float(np.sum(psd[(freqs >= 5) & (freqs <= 15)])),
+        peak_freq_5_15=float(freqs[
+            np.searchsorted(freqs, 5) + int(np.argmax(
+                psd[np.searchsorted(freqs, 5):
+                    np.searchsorted(freqs, 15)]))]),
+        rel_power_5_15=float(np.sum(psd[(freqs >= 5) & (freqs <= 15)])
+                             / np.abs(F).sum()),
+        psd_half_sum=float(psd.sum()),
+        rel_power_half_5_15=float(
+            np.sum(psd[(freqs >= 5) & (freqs <= 15)]) / psd.sum()),
+        nufft_n=int(len(xs_nu)), nufft_m=M,
+        nufft_re=Fd.real.tolist(), nufft_im=Fd.imag.tolist(),
+        nufft_abs=np.abs(Fd).tolist(),
+    ), open(f"{OUT}/spectral.json", "w"), indent=1)
 
     print("fixtures written to", os.path.abspath(OUT))
 
