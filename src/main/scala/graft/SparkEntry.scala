@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.DedupQueries.all ++
       graft.queries.SignalQueries.all ++
       graft.queries.InertialQueries.all ++
-      graft.queries.FractalQueries.all
+      graft.queries.FractalQueries.all ++
+      graft.queries.RqaQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracle ++
       graft.queries.SignalQueries.oracle ++
       graft.queries.InertialQueries.oracle ++
-      graft.queries.FractalQueries.oracle
+      graft.queries.FractalQueries.oracle ++
+      graft.queries.RqaQueries.oracle
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.signal.{Butterworth, Ppg, Qrs, SampEn, PerEntity}
+import graft.signal.{Butterworth, Ppg, Qrs, SampEn, PerEntity, Spectral}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,11 +83,39 @@ object SignalQueries {
       .orderBy(col("entity_id"))
   }
 
+  /** Frequency-domain HRV features per doc series (hrv.py:173-198 over
+    * a Breeze FFT; SURVEY.md §2.8): band power 5–15 Hz, peak frequency,
+    * relative band power, total |spectrum|. */
+  def qPowerBand(spark: SparkSession, dir: String): DataFrame = {
+    val fs = Fs
+    PerEntity.transform(spark, tokenSeries(spark),
+      "entity_id", "t", "value") { (_, vs) =>
+      if (vs.length < 64) Iterator.empty
+      else {
+        val mean = vs.sum / vs.length
+        val f = Spectral.fft(vs.map(_ - mean))
+        val half = vs.length / 2
+        val freqs = Array.tabulate(half)(i => i * fs / vs.length)
+        val psd = f.take(half).map(_.abs)
+        Iterator(
+          (0L, Spectral.powerBand(psd, freqs, 5, 15)),
+          (1L, Spectral.peakFrequency(psd, freqs, 5, 15)),
+          (2L, Spectral.relativePowerBand(psd, freqs, 5, 15)),
+          (3L, psd.sum))
+      }
+    }.groupBy(col("entity_id")).pivot("t", Seq(0L, 1L, 2L, 3L))
+      .agg(first(round(col("out"), 6)))
+      .withColumnsRenamed(Map("0" -> "band_power", "1" -> "peak_freq",
+        "2" -> "rel_power", "3" -> "total_power"))
+      .orderBy(col("entity_id"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_filtfilt" -> (qFiltfilt _),
     "q_rpeaks" -> (qRpeaks _),
     "q_pulse_onsets" -> (qPulseOnsets _),
-    "q_sampen" -> (qSampen _)
+    "q_sampen" -> (qSampen _),
+    "q_power_band" -> (qPowerBand _)
   )
 
   /** Intentionally empty: sequential IIR recursions and adaptive decision

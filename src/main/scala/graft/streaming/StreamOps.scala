@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.core.SeqPoint
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference has no
+  * streaming runtime, but its operators are stream-shaped; these are the
+  * streaming duals of the batch engine ops, sharing semantics:
+  *
+  *  - gap sessionization → `session_window(ts, gap)` (event time +
+  *    watermark; late data policy = watermark);
+  *  - tumbling/sliding feature windows → `window(ts, size, slide)`.
+  *    NOTE: streaming windows anchor at the EPOCH, the batch engine's
+  *    anchored grid anchors at each entity's first timestamp
+  *    (windows.py:175 semantics) — the batch path is the parity-
+  *    authoritative one; the streaming dual is for continuous serving;
+  *  - the per-entity stateful scans (§2.6) → flatMapGroupsWithState,
+  *    here instantiated as a running feature state that emits one
+  *    vector per arriving point with ZERO look-ahead (the streaming
+  *    dual of the backward as-of join: state at emit time only ever
+  *    contains past rows, so temporal leakage is impossible by
+  *    construction).
+  */
+object StreamOps {
+
+  /** Gap-based session aggregation over an event-time stream. */
+  def sessionAgg(points: DataFrame, gap: String,
+                 watermark: String): DataFrame =
+    points
+      .withWatermark("event_time", watermark)
+      .groupBy(col("entity_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_points"),
+        avg(col("value")).as("mean"),
+        min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"))
+
+  /** Sliding event-time window features (epoch-anchored streaming dual
+    * of the batch anchored grid). */
+  def slidingFeatures(points: DataFrame, size: String, slide: String,
+                      watermark: String): DataFrame =
+    points
+      .withWatermark("event_time", watermark)
+      .groupBy(col("entity_id"), window(col("event_time"), size, slide))
+      .agg(count(lit(1)).as("n_points"),
+        avg(col("value")).as("f_mean"),
+        stddev_pop(col("value")).as("f_std"),
+        min(col("value")).as("f_min"),
+        max(col("value")).as("f_max"))
+
+  /** Rolling state kept per entity: last `capacity` values (count
+    * window) — enough to emit mean/std/min/max/rmssd per event. */
+  final case class RollState(values: List[Double])
+
+  final case class StreamVector(entity_id: String, ts: Long,
+                                value: Double, n: Int, f_mean: Double,
+                                f_std: Double, f_rmssd: Double)
+
+  /** Per-event feature vectors with bounded per-entity state — the
+    * streaming as-of: each emitted row sees only rows at ts' <= ts. */
+  def rollingVectors(points: Dataset[SeqPoint], capacity: Int)
+                    (implicit spark: SparkSession): Dataset[StreamVector] = {
+    import spark.implicits._
+    points.groupByKey(_.entity_id)
+      .flatMapGroupsWithState[RollState, StreamVector](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (entity, rows, state: GroupState[RollState]) =>
+          // micro-batch arrival order is not ts-sorted: sort batch-locally
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var values = state.getOption.map(_.values).getOrElse(Nil)
+          val out = sorted.map { p =>
+            values = (p.value :: values).take(capacity)
+            val n = values.length
+            val mean = values.sum / n
+            val varp = values.map(v => (v - mean) * (v - mean)).sum / n
+            val diffs = values.zip(values.tail).map { case (a, b) => a - b }
+            val rmssd =
+              if (diffs.isEmpty) Double.NaN
+              else math.sqrt(diffs.map(d => d * d).sum / diffs.length)
+            StreamVector(entity, p.ts, p.value, n, mean,
+              math.sqrt(varp), rmssd)
+          }
+          state.update(RollState(values))
+          out.iterator
+      }
+  }
+}

