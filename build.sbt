@@ -23,15 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Fixed, pre-touched heap: lazy heap page-faulting otherwise dominates
+// timed regions on this host (observed 87% kernel time in first bench
+// attempts — see BASELINE.md "Measured").
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ (
-  // benchmarking: fixed, pre-touched heap so lazy page-faulting never
-  // pollutes timed regions (set SPARK_BENCH_HEAP=1 in bench runs)
-  if (sys.env.contains("SPARK_BENCH_HEAP"))
-    Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-      "-XX:+AlwaysPreTouch")
-  else Nil
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -110,12 +110,27 @@ object SignalQueries {
       .orderBy(col("entity_id"))
   }
 
+  /** Multimodal plumbing: binary media column → fake decode → frame
+    * sample → per-frame features (rows-only; MultimodalSpec carries the
+    * numeric verification). */
+  def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.functions.Multimodal.frameFeatures(
+      graft.functions.Multimodal.mediaTable(spark, 200), frameStride = 2)
+      .toDF()
+      .select(col("doc_id"), col("frame"), col("width"), col("height"),
+        round(col("mean_px"), 6).as("mean_px"), col("max_px"),
+        col("frame_hash"))
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_filtfilt" -> (qFiltfilt _),
     "q_rpeaks" -> (qRpeaks _),
     "q_pulse_onsets" -> (qPulseOnsets _),
     "q_sampen" -> (qSampen _),
-    "q_power_band" -> (qPowerBand _)
+    "q_power_band" -> (qPowerBand _),
+    "q_media_features" -> (qMediaFeatures _)
   )
 
   /** Intentionally empty: sequential IIR recursions and adaptive decision
