@@ -13,9 +13,19 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Tables {
 
-  /** Read one of the driver-generated tables under `sfDir`. */
+  /** Read one of the test tables. Source is config-level (SURVEY.md
+    * §2.0): production reads Iceberg through a DSv2 catalog — set
+    * GRAFT_ICEBERG_CATALOG (and register iceberg-spark-runtime on the
+    * cluster) and the same call resolves `<catalog>.<db>.<name>`;
+    * the local harness has no iceberg jar, so it reads the driver's
+    * parquet files through the identical code path. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    sys.env.get("GRAFT_ICEBERG_CATALOG") match {
+      case Some(cat) =>
+        val db = sys.env.getOrElse("GRAFT_ICEBERG_DB", "graft")
+        spark.read.table(s"$cat.$db.$name")
+      case None => spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")

@@ -192,7 +192,7 @@ object FeaturePipeline {
 
     // Stage 1: layout + sessionize. ONE range shuffle on (entity, ts);
     // everything downstream is co-partitioned by entity.
-    val laid = stage("s1_sessionized") {
+    val laidPlan = stage("s1_sessionized") {
       val base =
         if (numRangePartitions > 0)
           points.repartitionByRange(numRangePartitions,
@@ -202,6 +202,14 @@ object FeaturePipeline {
         base.sortWithinPartitions(col(entityCol), col(tsCol)),
         entityCol, tsCol, cfg.sessionGap)
     }
+    // Stage 1 feeds THREE consumers (window features, grid bounds, the
+    // as-of left side); without a checkpoint the lazy plan would re-run
+    // the explode+shuffle per consumer — persist instead (checkpointed
+    // runs already re-read the materialized parquet).
+    val laid =
+      if (checkpoint.isDefined) laidPlan
+      else laidPlan.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Stage 2: windowed features on the anchored per-entity grid — via
     // the bucket rollup whenever the grid is regular (wsize = R·wstep),
