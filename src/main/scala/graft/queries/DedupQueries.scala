@@ -159,11 +159,88 @@ object DedupQueries {
       .orderBy(col("bucket"))
   }
 
+  private def dotD(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** Shared deterministic hyperplane bucket expression (8 planes). */
+  private[queries] def lshBucket(emb: Column, dim: Int = 64): Column =
+    (0 until 8).map { i =>
+      val signs = (0 until dim).map { d =>
+        if (((i.toLong * 2654435761L + d.toLong * 40503L) % 97) < 48) 1.0
+        else -1.0
+      }
+      when(dotD(emb, array(signs.map(lit): _*)) > 0, lit(1L << i))
+        .otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Multi-table LSH parameters: L hash tables of k sparse random
+    * hyperplanes (8 signed dims each). For the test embeddings, whose
+    * true top-3 neighbors sit at cos ≈ 0.3–0.43 (θ ≈ 70°, per-plane
+    * collision p ≈ 0.6), expected recall = 1 − (1 − p^k)^L ≈ 0.9.
+    * Dims/signs are integer-arithmetic deterministic — identical
+    * literals in the DuckDB oracle. */
+  private val LshTables = 16
+  private val LshPlanes = 4
+
+  /** (dim0based, sign) pairs of sparse hyperplane (t, i). */
+  private[queries] def planeTerms(t: Int, i: Int,
+                                  dim: Int = 64): Seq[(Int, Double)] =
+    (0 until 8).map { j =>
+      val h = (t.toLong * 31 + i.toLong * 7 + j.toLong * 13) * 2654435761L
+      val d = math.floorMod(h >> 16, dim).toInt
+      val s = if (math.floorMod(h >> 8, 2) == 0) 1.0 else -1.0
+      (d, s)
+    }
+
+  private def tableBucket(emb: Column, t: Int): Column =
+    (0 until LshPlanes).map { i =>
+      val proj = planeTerms(t, i).map { case (d, s) =>
+        element_at(emb, d + 1).cast("double") * s
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Multi-table LSH ANN top-k — the scale path of q_embed_topk: each
+    * vector lands in L=16 buckets (k=4 sparse hyperplanes per table);
+    * candidates = same-(table, bucket) pairs — an EQUI-join that
+    * partitions by bucket id at any scale — deduped, then ranked by
+    * exact cosine. Recall vs exact brute force measured in DedupSpec. */
+  def qAnnLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = array((0 until LshTables).map(t =>
+      struct(lit(t).as("t"), tableBucket(col("embedding"), t).as("b"))): _*)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        explode(buckets).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.t").as("t"), col("bk.b").as("b"))
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("t"), col("b"))
+    val tt = emb.select(col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("t"), col("b"))
+    val cos = round(
+      dotD(col("ea"), col("eb")) /
+        (sqrt(dotD(col("ea"), col("ea"))) * sqrt(dotD(col("eb"), col("eb")))),
+      6)
+    val cand = broadcast(q).join(tt, Seq("t", "b"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"))
+      .orderBy(col("cos_sim").desc, col("b_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .orderBy(col("a_id"), col("rank"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_embed_neardup" -> (qEmbedNeardup _),
-    "q_ann_lsh_buckets" -> (qAnnLshBuckets _)
+    "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
+    "q_ann_lsh_topk" -> (qAnnLshTopk _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -255,6 +332,43 @@ object DedupQueries {
         |      * sqrt(list_sum(list_transform(b.embedding,
         |        x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_ann_lsh_topk" -> {
+      val bucketExprs = (0 until LshTables).map { t =>
+        (0 until LshPlanes).map { i =>
+          val proj = planeTerms(t, i).map { case (d, s) =>
+            val sgn = if (s > 0) "+" else "-"
+            s"$sgn embedding[${d + 1}]::DOUBLE"
+          }.mkString(" ")
+          s"(CASE WHEN ($proj) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString(",\n        |      ")
+      val tList = (0 until LshTables).mkString("[", ",", "]")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    unnest($tList) AS t,
+        |    unnest([
+        |      $bucketExprs]) AS b
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS a_id, embedding AS ea, t, b FROM e
+        |  WHERE vec_id < 20),
+        |tt AS (SELECT vec_id AS b_id, embedding AS eb, t, b FROM e),
+        |cand AS (
+        |  SELECT DISTINCT a_id, b_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(ea, eb),
+        |        p -> p[1]::DOUBLE * p[2]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+        |        * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
+        |      6) AS cos_sim
+        |  FROM q JOIN tt ON q.t = tt.t AND q.b = tt.b AND a_id <> b_id),
+        |r AS (
+        |  SELECT a_id, b_id, cos_sim,
+        |    row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos_sim DESC, b_id) AS rank
+        |  FROM cand)
+        |SELECT a_id, b_id, cos_sim, rank FROM r WHERE rank <= 3
+        |ORDER BY a_id, rank""".stripMargin
+    },
     "q_ann_lsh_buckets" -> {
       val planeExprs = (0 until 8).map { i =>
         val signs = (0 until 64).map { d =>
