@@ -61,8 +61,14 @@ object ScalingProbe {
         col("f_mean"), col("f_std"))
     time("asof_only")(AsOf.joinBackward(laid, feats, "entity_id", "ts",
       cfg.maxStaleness, "f_"))
+    time("asof_native")(graft.plans.AsOfJoinNative.joinBackward(
+      spark, laid, feats.columns.filterNot(Set("entity_id", "ts"))
+        .foldLeft(feats) { (df, c) => df.withColumnRenamed(c, s"f_$c") },
+      "entity_id", "ts", cfg.maxStaleness))
     time("full")(FeaturePipeline.run(spark, points, "entity_id", "ts",
       "value", cfg))
+    time("full_composed")(FeaturePipeline.run(spark, points, "entity_id",
+      "ts", "value", cfg.copy(nativeAsOf = false)))
     spark.stop()
   }
 }

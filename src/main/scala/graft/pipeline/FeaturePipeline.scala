@@ -31,9 +31,15 @@ object FeaturePipeline {
     * @param sessionGap    gap threshold for sessionize / backfill gating
     * @param maxStaleness  as-of tolerance: a feature older than this is
     *                      not carried forward (gap-aware fill limit)
+    * @param nativeAsOf    use the custom Catalyst merge operator
+    *                      (plans.AsOfJoinNative) for stage 3 instead of
+    *                      the union+window composition — identical
+    *                      semantics (AsOfNativeSpec), sorts each side
+    *                      separately instead of the interleaved union
     */
   final case class Config(wsize: Long, wstep: Long, minWindowLen: Long,
-                          sessionGap: Long, maxStaleness: Option[Long])
+                          sessionGap: Long, maxStaleness: Option[Long],
+                          nativeAsOf: Boolean = true)
 
   /** Stage 2 (scale path): two-level bucket rollup.
     *
@@ -232,9 +238,21 @@ object FeaturePipeline {
 
     // Stage 3: point-in-time join + staleness-gated carry-forward.
     stage("s3_vectors") {
-      AsOf.joinBackward(laid, feats, entityCol, tsCol,
-        tolerance = cfg.maxStaleness, rightPrefix = "f_")
-        .withColumnRenamed("f_ts", "feature_ts")
+      if (cfg.nativeAsOf) {
+        // native operator drops the right keys; carry the availability
+        // ts explicitly as payload for provenance
+        val prefixed = feats.columns
+          .filterNot(Set(entityCol, tsCol))
+          .foldLeft(feats.withColumn("feature_ts", col(tsCol))) {
+            (df, c) => df.withColumnRenamed(c, s"f_$c")
+          }
+        graft.plans.AsOfJoinNative.joinBackward(spark, laid, prefixed,
+          entityCol, tsCol, cfg.maxStaleness)
+      } else {
+        AsOf.joinBackward(laid, feats, entityCol, tsCol,
+          tolerance = cfg.maxStaleness, rightPrefix = "f_")
+          .withColumnRenamed("f_ts", "feature_ts")
+      }
     }
   }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` Dataset construction — the standard way
+  * for an external library to materialize a DataFrame from a custom
+  * LogicalPlan (graft's native as-of join node). Lives in the
+  * org.apache.spark.sql package solely for access; no Spark internals
+  * are modified. */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
