@@ -65,7 +65,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "10000").toLong
+    // 20k docs ≈ 28M points: large enough that fixed job overheads
+    // (~4s/run) don't flatten the high-core end of the ladder
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
 
     // --- write the deterministic tokens table once (not timed) ---
     val tokensPath = s"/tmp/graft_bench_tokens_$nDocs"

@@ -189,7 +189,6 @@ object AsOfJoinNative {
     }
   }
 
-  @volatile private var registered = false
 
   /** Backward as-of join via the native operator. Right payload column
     * names must be disjoint from left's (prefix them on the right). The
@@ -198,11 +197,12 @@ object AsOfJoinNative {
   def joinBackward(spark: SparkSession, left: DataFrame, right: DataFrame,
                    entityCol: String, tsCol: String,
                    tolerance: Option[Long] = None): DataFrame = {
-    if (!registered) synchronized {
-      if (!registered) {
+    // registration is PER SESSION (ExperimentalMethods is per
+    // SparkSession — a JVM-global flag breaks the second session)
+    synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ AsOfStrategy
-        registered = true
       }
     }
     val l = left.withColumn(tsCol, col(tsCol).cast(LongType))
