@@ -65,9 +65,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 20k docs ≈ 28M points: large enough that fixed job overheads
-    // (~4s/run) don't flatten the high-core end of the ladder
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+    // 40k docs ≈ 56M points: large enough that fixed job overheads
+    // (~4s/run) don't flatten the low end of the ladder — at 28M the
+    // 8-core pass is overhead-bound and eff(2→8) under-reads (0.78 vs
+    // 0.84 at 56M)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
 
     // --- write the deterministic tokens table once (not timed) ---
     val tokensPath = s"/tmp/graft_bench_tokens_$nDocs"
