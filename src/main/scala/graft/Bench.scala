@@ -32,6 +32,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", 128)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // preserve cached-plan partitioning so the as-of join reuses the
+      // entity layout instead of re-exchanging (Spark 4 default runs AQE
+      // over caches, discarding their partitioning)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

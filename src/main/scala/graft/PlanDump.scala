@@ -10,6 +10,11 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 32)
+      // preserve cached-plan partitioning so the as-of join reuses the
+      // entity layout instead of re-exchanging (Spark 4 default runs AQE
+      // over caches, discarding their partitioning)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,6 +18,11 @@ object ScalingProbe {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("PROBE_PARTS", "128").toInt)
       .config("spark.sql.adaptive.enabled", "true")
+      // preserve cached-plan partitioning so the as-of join reuses the
+      // entity layout instead of re-exchanging (Spark 4 default runs AQE
+      // over caches, discarding their partitioning)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "false")
       .config("spark.storage.memoryMapThreshold",
         sys.env.getOrElse("PROBE_MMAP", "2m"))
       .config("spark.shuffle.file.buffer",

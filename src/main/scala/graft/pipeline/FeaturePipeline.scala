@@ -103,53 +103,50 @@ object FeaturePipeline {
       .groupBy(col(entityCol), col("__b"))
       .agg(bucketAggs.head, bucketAggs.tail: _*)
 
-    // level 2: each bucket feeds its R windows (fan-out R on the SMALL
-    // bucket table); j = b − k selects the lag-cumulative pair sums
-    val kGridMax = floor((col("__last") - col("__first") - 1) / s)
-    val fan = buckets.withColumn("__j",
-      explode(sequence(lit(0), lit(r - 1))))
-      .withColumn("__k", col("__b") - col("__j"))
-      .where(col("__k") >= 0 && col("__k") <= kGridMax)
-    val dSel = element_at(
-      array((0 until r).map(j => col(s"__d2_$j")): _*), col("__j") + 1)
-    val cSel = element_at(
-      array((0 until r).map(j => col(s"__c_$j")): _*), col("__j") + 1)
-    val perWindow = fan
-      .withColumn("__dsel", dSel)
-      .withColumn("__csel", cSel)
-      .groupBy(col(entityCol), col("__k"))
-      .agg(
-        sum(col("__cnt")).as("n_points"),
-        first(col("__first")).as("__first"),
-        sum(col("__s1")).as("__S1"),
-        sum(col("__s2")).as("__S2"),
-        min(col("__mn")).as("__MN"),
-        max(col("__mx")).as("__MX"),
-        sum(col("__dsel")).as("__D2"),
-        sum(col("__csel")).as("__C"))
-
-    // full grid incl. empty windows, then minWindowLen gating — same
-    // output contract as the direct path
-    val grid = points.groupBy(col(entityCol))
-      .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+    // level 2: densify buckets to the full per-entity range, then
+    // combine each window's R consecutive buckets as a SUM OF LEADS
+    // window expression: window k (anchored at bucket k) takes bucket
+    // k+j's stats — and its lag<=j cumulative pair sums — via lead(_, j).
+    // Crucially this PRESERVES hash(entity) partitioning (groupBy on
+    // (entity, k) would not), so the downstream as-of join needs no
+    // exchange of either side. Dense rows make lead offsets == bucket
+    // offsets even across empty buckets, and give empty windows their
+    // grid row for free.
+    val bounds = buckets.groupBy(col(entityCol)).agg(
+      min(col("__first")).as("__first"), max(col("__last")).as("__last"))
       .where(col("__last") > col("__first"))
-      .withColumn("__k", explode(sequence(lit(0L),
-        floor((col("__last") - col("__first") - 1) / s).cast("long"))))
-      .select(col(entityCol), col("__k"), col("__first"))
-    val joined = grid.join(perWindow.drop("__first"),
-      Seq(entityCol, "__k"), "left")
-    val nOk = coalesce(col("n_points"), lit(0L)) >= cfg.minWindowLen
-    val nP = col("n_points")
-    joined.select(col(entityCol) +:
-      (col("__first") + col("__k") * s).as("window_start") +:
-      coalesce(col("n_points"), lit(0L)).as("n_points") +:
-      Seq(
-        when(nOk, col("__S1") / nP).as("f_mean"),
-        when(nOk, sqrt(col("__S2") / nP -
-          (col("__S1") / nP) * (col("__S1") / nP))).as("f_std"),
-        when(nOk, col("__MN")).as("f_min"),
-        when(nOk, col("__MX")).as("f_max"),
-        when(nOk, sqrt(col("__D2") / col("__C"))).as("f_rmssd")): _*)
+    val dense = bounds
+      .withColumn("__b", explode(sequence(lit(0L),
+        floor((col("__last") - col("__first")) / s).cast("long"))))
+      .join(buckets.drop("__first", "__last"),
+        Seq(entityCol, "__b"), "left")
+    val wLead = Window.partitionBy(col(entityCol)).orderBy(col("__b"))
+    def atJ(name: String, j: Int): Column =
+      if (j == 0) col(name) else lead(col(name), j).over(wLead)
+    def sumJ(f: Int => Column): Column =
+      (0 until r).map(f).reduce(_ + _)
+    val nPts = sumJ(j => coalesce(atJ("__cnt", j), lit(0L)))
+    val s1 = sumJ(j => coalesce(atJ("__s1", j), lit(0.0)))
+    val s2 = sumJ(j => coalesce(atJ("__s2", j), lit(0.0)))
+    val mns = (0 until r).map(j => atJ("__mn", j))
+    val mxs = (0 until r).map(j => atJ("__mx", j))
+    val mn = if (r == 1) mns.head else least(mns: _*)
+    val mx = if (r == 1) mxs.head else greatest(mxs: _*)
+    val d2 = sumJ(j => coalesce(atJ(s"__d2_$j", j), lit(0.0)))
+    val cEff = sumJ(j => coalesce(atJ(s"__c_$j", j), lit(0L)))
+    val kGridMax = floor((col("__last") - col("__first") - 1) / s)
+    val nOk = nPts >= cfg.minWindowLen
+    dense.select(col(entityCol),
+      (col("__first") + col("__b") * s).as("window_start"),
+      col("__b"), kGridMax.as("__kmax"),
+      nPts.as("n_points"),
+      when(nOk, s1 / nPts).as("f_mean"),
+      when(nOk, sqrt(s2 / nPts - (s1 / nPts) * (s1 / nPts))).as("f_std"),
+      when(nOk, mn).as("f_min"),
+      when(nOk, mx).as("f_max"),
+      when(nOk && cEff > 0, sqrt(d2 / cEff)).as("f_rmssd"))
+      .where(col("__b") <= col("__kmax"))
+      .drop("__b", "__kmax")
   }
 
   /** Stage 2 (reference path): per-(entity, window) features over the
