@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   *    SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS (driver contract).
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-  * SPARK_GRAFT_BENCH_DOCS (default 10000), SPARK_GRAFT_BENCH_LADDER
+  * SPARK_GRAFT_BENCH_DOCS (default 40000), SPARK_GRAFT_BENCH_LADDER
   * (default "2,8,32"), SPARK_GRAFT_BENCH_REPS (default 3).
   */
 object Bench {
@@ -89,9 +89,9 @@ object Bench {
 
     // --- scaling proxy: low cores, then high cores, same input.
     // Each level gets one UNTIMED warm-up pass first (JIT + codegen +
-    // shuffle-path warm-up; a cluster bench would do the same), and the
-    // timed pass is the second run. Run with SPARK_BENCH_HEAP=1 so the
-    // JVM heap is pre-touched and page faults stay out of timed regions.
+    // shuffle-path warm-up; a cluster bench would do the same); the JVM
+    // heap is fixed + pre-touched via build.sbt javaOptions so page
+    // faults stay out of timed regions.
     // This sandbox shows high run-to-run variance (shared host, ~10%
     // steal time), so each level takes the MEDIAN of `reps` timed passes.
     // The ladder measures the N→4N criterion twice: 2→8 cores (below

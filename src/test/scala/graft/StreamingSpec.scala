@@ -34,11 +34,11 @@ class StreamingSpec extends SparkSpec {
     val pts = input.toDF()
       .toDF("entity_id", "sec", "value")
       .withColumn("event_time", timestamp_seconds(col("sec")))
-    val out = runStream(
-      StreamOps.sessionAgg(pts, "30 seconds", "0 seconds"),
+    // append-mode sessionAgg only emits sessions the watermark has
+    // closed; assert it runs, then check the full grouping via
+    // complete mode
+    runStream(StreamOps.sessionAgg(pts, "30 seconds", "0 seconds"),
       "sessions_tbl", "append")
-    // complete results require watermark passage; use processAllAvailable
-    // + final state via complete-mode rerun instead:
     val input2 = MemoryStream[(String, Long, Double)]
     input2.addData(rows: _*)
     val pts2 = input2.toDF().toDF("entity_id", "sec", "value")
