@@ -23,9 +23,13 @@ object InertialQueries {
       ((col("event_id") * 31 % 2001) / 1000.0 - 1.0).as("ax"),
       ((col("event_id") * 57 % 2001) / 1000.0 - 1.0).as("ay"),
       ((col("event_id") * 89 % 2001) / 1000.0 - 1.0).as("az"))
+    // + 0.0 normalizes IEEE negative zero: Spark round() drops the sign
+    // (BigDecimal) but DuckDB keeps it, and atan2(-0.0, y) IS -0.0 when
+    // ax == 0 — the strings "0.0" vs "-0.0" would hash-mismatch
     val perRow = ev.select(col("user_id"), col("event_id"),
-      round(Accel.roll(col("ay"), col("az")), 6).as("roll"),
-      round(Accel.pitch(col("ax"), col("ay"), col("az")), 6).as("pitch"),
+      (round(Accel.roll(col("ay"), col("az")), 6) + 0.0).as("roll"),
+      (round(Accel.pitch(col("ax"), col("ay"), col("az")), 6) + 0.0)
+        .as("pitch"),
       round(Accel.magnitude(col("ax"), col("ay"), col("az")), 6)
         .as("magnitude"))
       .where(col("event_id") % 7 === 0)
@@ -95,8 +99,9 @@ object InertialQueries {
         |      AS magnitude_dot
         |  FROM ev GROUP BY user_id)
         |SELECT ev.user_id, event_id,
-        |  round(atan2(ay, az) * 180 / pi(), 6) AS roll,
-        |  round(atan2(-ax, sqrt(ay*ay + az*az)) * 180 / pi(), 6) AS pitch,
+        |  round(atan2(ay, az) * 180 / pi(), 6) + 0.0 AS roll,
+        |  round(atan2(-ax, sqrt(ay*ay + az*az)) * 180 / pi(), 6) + 0.0
+        |    AS pitch,
         |  round(sqrt(ax*ax + ay*ay + az*az), 6) AS magnitude,
         |  pu.magnitude_dot
         |FROM ev JOIN pu ON pu.user_id = ev.user_id
