@@ -124,12 +124,48 @@ object SignalQueries {
       .orderBy(col("doc_id"), col("frame"))
   }
 
+  /** Frequency-domain HRV over NON-UNIFORM samples (the reference's
+    * NUFFT use case, SURVEY.md §2.8: PSD of an irregularly-timed nni
+    * series): per user, event times map to [0, 2π), the type-1 NUFFT
+    * gives the spectrum on a 32-bin grid (frequencies in cycles per
+    * observation span), then band power / peak / relative features. */
+  def qHrvFreq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("entity_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"),
+        col("value"))
+    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (ts, vs) =>
+      if (vs.length < 16) Iterator.empty
+      else {
+        val t0 = ts.head
+        val span = (ts.last - t0).toDouble
+        val x = ts.map(t => (t - t0) / span * 2 * math.Pi)
+        val mean = vs.sum / vs.length
+        val c = vs.map(_ - mean)
+        val m = 32
+        val spec = Spectral.nufft1d1(x, c, m)
+        // positive-frequency half of the centered grid
+        val freqs = Spectral.nufftFreqs(m).drop(m / 2)
+        val psd = spec.drop(m / 2).map(_.abs)
+        Iterator(
+          (0L, Spectral.powerBand(psd, freqs, 1, 4)),
+          (1L, Spectral.peakFrequency(psd, freqs, 1, 8)),
+          (2L, Spectral.relativePowerBand(psd, freqs, 1, 4)))
+      }
+    }.groupBy(col("entity_id")).pivot("t", Seq(0L, 1L, 2L))
+      .agg(first(round(col("out"), 6)))
+      .withColumnsRenamed(Map("0" -> "band_power_1_4",
+        "1" -> "peak_freq_1_8", "2" -> "rel_power_1_4"))
+      .orderBy(col("entity_id"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_filtfilt" -> (qFiltfilt _),
     "q_rpeaks" -> (qRpeaks _),
     "q_pulse_onsets" -> (qPulseOnsets _),
     "q_sampen" -> (qSampen _),
     "q_power_band" -> (qPowerBand _),
+    "q_hrv_freq" -> (qHrvFreq _),
     "q_media_features" -> (qMediaFeatures _)
   )
 
