@@ -35,8 +35,14 @@ object Layout {
                 partials: Seq[Column],
                 merge: Map[String, Column => Column]): DataFrame = {
     require(nSalts > 1)
+    // Salt derives from stable row CONTENT, never from
+    // monotonically_increasing_id(): an indeterminate salt re-assigns
+    // rows to different (key, salt) groups when a stage is retried
+    // after shuffle-fetch failure — the classic double-count/loss
+    // hazard. (Identical rows share a salt; for distinct-ish data the
+    // spread is unchanged.)
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(nSalts)))
+      pmod(hash(df.columns.map(col).toSeq: _*), lit(nSalts)))
     val phase1 = salted.groupBy(col(keyCol), col("__salt"))
       .agg(partials.head, partials.tail: _*)
     val mergeCols = phase1.columns

@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Add a `session_id` column (0-based per entity, ordered by ts).
-    * `gap` is in ts units (micros for timestamp types). */
+    * `gap` is in ts units (micros for timestamp types). `tieCols` break
+    * ties between rows sharing (entity, ts) — without them the running
+    * sum's row order (and thus which tied row starts a session) is
+    * nondeterministic across runs/retries. The break predicate itself
+    * only reads ts, so ties never change session VALUES, only make the
+    * scan order stable. */
   def withSessionId(df: DataFrame, entityCol: String, tsCol: String,
-                    gap: Long, out: String = "session_id"): DataFrame = {
+                    gap: Long, out: String = "session_id",
+                    tieCols: Seq[String] = Nil): DataFrame = {
     val dt = df.schema(tsCol).dataType
-    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
     val delta = graft.core.Tables.tsMicros(col(tsCol), dt) -
       graft.core.Tables.tsMicros(lag(col(tsCol), 1).over(w), dt)
     val break_ = when(delta.isNull || delta <= gap, 0L).otherwise(1L)
@@ -39,9 +46,10 @@ object Sessionize {
     * compose with [[withSessionId]]. */
   def backfillWithinSession(df: DataFrame, entityCol: String, tsCol: String,
                             valueCol: String, sessionCol: String = "session_id",
-                            out: String = "value_filled"): DataFrame = {
+                            out: String = "value_filled",
+                            tieCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(entityCol), col(sessionCol))
-      .orderBy(col(tsCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(out, last(col(valueCol), ignoreNulls = true).over(w))
   }

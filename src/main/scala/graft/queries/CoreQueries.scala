@@ -54,7 +54,7 @@ object CoreQueries {
         .as("roll_range"),
       (sum(col("b")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)) / 100).as("cum_sum"),
-      row_number().over(w).as("rn")
+      row_number().over(w).cast("long").as("rn")
     ).orderBy(col("user_id"), col("event_id"))
   }
 
@@ -161,7 +161,8 @@ object CoreQueries {
   def qSessionize(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).withColumn("b", b100(col("value")))
     val gapMicros = 6L * 3600 * 1000000
-    Sessionize.withSessionId(ev, "user_id", "ts", gapMicros)
+    Sessionize.withSessionId(ev, "user_id", "ts", gapMicros,
+        tieCols = Seq("event_id"))
       .groupBy(col("user_id"), col("session_id")).agg(
         count(lit(1)).as("n_events"),
         (sum(col("b")) / 100).as("sum_value"),
@@ -179,8 +180,10 @@ object CoreQueries {
     val nulled = ev.withColumn("v0",
       when(col("event_type") === "error", lit(null).cast("double"))
         .otherwise(col("value")))
-    val sess = Sessionize.withSessionId(nulled, "user_id", "ts", gapMicros)
-    Sessionize.backfillWithinSession(sess, "user_id", "ts", "v0")
+    val sess = Sessionize.withSessionId(nulled, "user_id", "ts", gapMicros,
+      tieCols = Seq("event_id"))
+    Sessionize.backfillWithinSession(sess, "user_id", "ts", "v0",
+      tieCols = Seq("event_id"))
       .select(col("user_id"), col("event_id"), col("session_id"),
         col("value_filled").as("v_filled"))
       .orderBy(col("user_id"), col("event_id"))
@@ -394,15 +397,16 @@ object CoreQueries {
         |FROM a ORDER BY user_id""".stripMargin,
     "q_sessionize" ->
       """WITH v AS (
-        |  SELECT user_id, ts, round(value*100) AS b,
+        |  SELECT user_id, ts, event_id, round(value*100) AS b,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-        |      OVER (PARTITION BY user_id ORDER BY ts) > 21600000000
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts, b,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS session_id
         |  FROM v)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  sum(b)/100 AS sum_value,
@@ -414,17 +418,19 @@ object CoreQueries {
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value, event_type,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-        |      OVER (PARTITION BY user_id ORDER BY ts) > 21600000000
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
         |      THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT *, (sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS session_id
         |  FROM g)
         |SELECT user_id, event_id, session_id,
         |  last_value(CASE WHEN event_type = 'error' THEN NULL
         |      ELSE value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id, session_id ORDER BY ts
+        |    OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM s ORDER BY user_id, event_id""".stripMargin,
     "q_asof_join" ->

@@ -25,19 +25,21 @@ object DedupQueries {
   private val K = 16      // minhash signature length
   private val Bands = 4   // LSH bands (rows per band = K/Bands = 4)
 
-  /** Word 3-shingles per doc, distinct: (doc_id, sh). */
+  /** Word 3-shingles per doc, distinct: (doc_id, sh). Shingling is
+    * per-row array work — a single `transform` over the split array
+    * (zero joins, zero shuffles before the distinct), not a positional
+    * self-join: at 100 TB the latter would shuffle the exploded words
+    * table twice for what is a map-side expression. */
   private def shingles(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " "))
-        .as(Seq("pos", "w")))
-    val w2 = words.select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"),
-      col("w").as("wb"))
-    val w3 = words.select(col("doc_id").as("d3"), (col("pos") - 2).as("p3"),
-      col("w").as("wc"))
-    words.join(w2, col("doc_id") === col("d2") && col("pos") === col("p2"))
-      .join(w3, col("doc_id") === col("d3") && col("pos") === col("p3"))
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("wb"), col("wc")).as("sh"))
+    val ws = split(col("text"), " ")
+    // sequence(0, size-3) descends when size < 3 — guard to empty.
+    val sh3 = when(size(ws) >= 3,
+      transform(sequence(lit(0), size(ws) - 3), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sh3).as("sh"))
       .distinct()
   }
 
@@ -85,7 +87,15 @@ object DedupQueries {
   }
 
   /** SimHash (16-bit, md5-derived bits): per-doc fingerprint plus
-    * near-dup pairs at Hamming distance <= 2 among doc_id < 200. */
+    * near-dup pairs at Hamming distance <= 2 over ALL documents.
+    *
+    * Scale path: the pair scan is NOT all-pairs — by the pigeonhole
+    * principle, two 16-bit fingerprints at distance <= 2 agree exactly
+    * on at least one of 3 disjoint bit bands (6+5+5 bits), so candidates
+    * come from an EQUI-join on (band index, band bits) — the same
+    * banding trick as the MinHash path — then the exact Hamming check
+    * verifies. At corpus scale the fingerprint widens to 64 bits with
+    * proportionally more bands; the plan shape is unchanged. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -100,14 +110,27 @@ object DedupQueries {
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
     val sims = agg.select(col("doc_id"), fp.as("simhash"))
-    val a = sims.where(col("doc_id") < 200)
-      .select(col("doc_id").as("a_id"), col("simhash").as("ha"))
-    val b = sims.where(col("doc_id") < 200)
-      .select(col("doc_id").as("b_id"), col("simhash").as("hb"))
-    a.join(b, col("a_id") < col("b_id"))
+    // 3 disjoint bands: bits [0,6), [6,11), [11,16)
+    val bandCols = array(
+      struct(lit(0).as("bi"), col("simhash").bitwiseAND(lit(63L)).as("bv")),
+      struct(lit(1).as("bi"),
+        shiftright(col("simhash"), 6).bitwiseAND(lit(31L)).as("bv")),
+      struct(lit(2).as("bi"),
+        shiftright(col("simhash"), 11).bitwiseAND(lit(31L)).as("bv")))
+    val bands = sims
+      .select(col("doc_id"), col("simhash"), explode(bandCols).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
+      col("bi"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
+      col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .where(col("hamming") <= 2)
+      .distinct() // a pair can collide in several bands
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -307,8 +330,7 @@ object DedupQueries {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  a.simhash AS ha, b.simhash AS hb,
         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |FROM sims a JOIN sims b
-        |  ON a.doc_id < b.doc_id AND a.doc_id < 200 AND b.doc_id < 200
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY a_id, b_id""".stripMargin
     },

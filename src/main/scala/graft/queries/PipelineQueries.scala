@@ -76,9 +76,9 @@ object PipelineQueries {
         |  GROUP BY 1, 2, 3),
         |sess AS (
         |  SELECT entity_id, t, b,
-        |    sum(CASE WHEN prev_t IS NULL OR t - prev_t <= $Gap
+        |    (sum(CASE WHEN prev_t IS NULL OR t - prev_t <= $Gap
         |      THEN 0 ELSE 1 END)
-        |      OVER (PARTITION BY entity_id ORDER BY t) AS session_id
+        |      OVER (PARTITION BY entity_id ORDER BY t))::BIGINT AS session_id
         |  FROM o),
         |j AS (
         |  SELECT s.entity_id, s.t, s.b, s.session_id, f.ws, f.n,

@@ -76,8 +76,27 @@ object RqaQueries {
       count(lit(1)).as("n_vert_runs"),
       sum(col("len")).as("vert_len_sum"))
 
+    // laminarity (rqa.py:92-112, code semantics): fraction of ALL n×n
+    // cells that are recurrent AND have a recurrent neighbor at j±1 in
+    // the same row i (the reference divides by the full matrix size,
+    // not by the recurrent-point count, despite its docstring).
+    val wn = Window.partitionBy(col("user_id"), col("i")).orderBy(col("j"))
+    val lam = pairs
+      .withColumn("nb",
+        (lag(col("j"), 1).over(wn) === col("j") - 1) ||
+          (lead(col("j"), 1).over(wn) === col("j") + 1))
+      .where(col("nb"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("lam_num"))
+    val nM = pts.groupBy(col("user_id")).agg(count(lit(1)).as("nm"))
+
     diagStats.join(ent, Seq("user_id"), "left")
       .join(vertStats, Seq("user_id"), "left")
+      .join(lam, Seq("user_id"), "left")
+      .join(nM, Seq("user_id"))
+      .withColumn("laminarity",
+        coalesce(col("lam_num"), lit(0L)) /
+          (col("nm") * col("nm")).cast("double"))
+      .drop("lam_num", "nm")
       .orderBy(col("user_id"))
   }
 
@@ -115,7 +134,8 @@ object RqaQueries {
         |  GROUP BY user_id, g, island
         |  HAVING count(*) >= $MinLen),
         |ds AS (
-        |  SELECT user_id, count(*) AS n_diag_runs, sum(len) AS diag_len_sum,
+        |  SELECT user_id, count(*) AS n_diag_runs,
+        |    sum(len)::BIGINT AS diag_len_sum,
         |    max(len) AS diag_len_max
         |  FROM diag_runs GROUP BY user_id),
         |c AS (
@@ -129,12 +149,24 @@ object RqaQueries {
         |      AS diag_len_entropy
         |  FROM c JOIN t ON t.user_id = c.user_id GROUP BY c.user_id),
         |vs AS (
-        |  SELECT user_id, count(*) AS n_vert_runs, sum(len) AS vert_len_sum
-        |  FROM vert_runs GROUP BY user_id)
+        |  SELECT user_id, count(*) AS n_vert_runs,
+        |    sum(len)::BIGINT AS vert_len_sum
+        |  FROM vert_runs GROUP BY user_id),
+        |lam AS (
+        |  SELECT user_id, count(*) AS lam_num FROM (
+        |    SELECT user_id,
+        |      (lag(j) OVER (PARTITION BY user_id, i ORDER BY j) = j - 1
+        |       OR lead(j) OVER (PARTITION BY user_id, i ORDER BY j) = j + 1)
+        |        AS nb
+        |    FROM pairs) WHERE nb GROUP BY user_id),
+        |nm AS (SELECT user_id, count(*) AS nm FROM pts GROUP BY user_id)
         |SELECT ds.user_id, n_diag_runs, diag_len_sum, diag_len_max,
-        |  diag_len_entropy, n_vert_runs, vert_len_sum
+        |  diag_len_entropy, n_vert_runs, vert_len_sum,
+        |  coalesce(lam.lam_num, 0) / (nm.nm * nm.nm)::DOUBLE AS laminarity
         |FROM ds
         |LEFT JOIN e ON e.user_id = ds.user_id
         |LEFT JOIN vs ON vs.user_id = ds.user_id
+        |LEFT JOIN lam ON lam.user_id = ds.user_id
+        |JOIN nm ON nm.user_id = ds.user_id
         |ORDER BY ds.user_id""".stripMargin)
 }

@@ -33,38 +33,58 @@ object SeqQueries {
       .orderBy(col("user_id"))
   }
 
-  /** o1fit: closed-form OLS line per user, y = value over x = row index
-    * (timedom.py:262-279 — returns intercept A and slope b). Explicit
-    * integer-sum normal equations so both engines agree bitwise. */
+  /** o1fit + o1fit_multiple: closed-form OLS lines per user over a SHARED
+    * x = row index (timedom.py:262-299 — o1fit returns intercept A and
+    * slope b; o1fit_multiple fits m columns against one x). Columns:
+    * y1 = b (the value lattice), y2 = b² (exact, < 2^53 in every partial
+    * sum), y3 = |b − 25000|. Explicit integer-sum normal equations so
+    * both engines agree bitwise; x-side sums are computed once and shared
+    * across columns, exactly like the reference's shared-x loop. */
   def qO1fit(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val ev = Tables.events(spark, dir)
       .withColumn("b", b100(col("value")))
+      .withColumn("y2", col("b") * col("b"))
+      .withColumn("y3", abs(col("b") - 25000))
       .withColumn("x", row_number().over(w).cast("double"))
     val agg = ev.groupBy(col("user_id")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
-      sum(col("b")).as("sy"), sum(col("x") * col("b")).as("sxy"))
-    val slopeB = (col("n") * col("sxy") - col("sx") * col("sy")) /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+      sum(col("b")).as("sy"), sum(col("x") * col("b")).as("sxy"),
+      sum(col("y2")).as("sy2"), sum(col("x") * col("y2")).as("sxy2"),
+      sum(col("y3")).as("sy3"), sum(col("x") * col("y3")).as("sxy3"))
+    def slopeOf(sy: Column, sxy: Column): Column =
+      (col("n") * sxy - col("sx") * sy) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+    def interceptOf(sy: Column, sxy: Column): Column =
+      (sy - slopeOf(sy, sxy) * col("sx")) / col("n")
     agg.select(col("user_id"),
-      (slopeB / 100).as("slope"),
-      ((col("sy") - slopeB * col("sx")) / col("n") / 100).as("intercept"))
+      (slopeOf(col("sy"), col("sxy")) / 100).as("slope"),
+      (interceptOf(col("sy"), col("sxy")) / 100).as("intercept"),
+      slopeOf(col("sy2"), col("sxy2")).as("slope_sq"),
+      interceptOf(col("sy2"), col("sxy2")).as("intercept_sq"),
+      slopeOf(col("sy3"), col("sxy3")).as("slope_absdev"),
+      interceptOf(col("sy3"), col("sxy3")).as("intercept_absdev"))
       .orderBy(col("user_id"))
   }
 
   /** Hurst exponent (timedom.py:238-259): tau(l) = sqrt(std_pop(x[l:] −
-    * x[:−l])) for lags 2..16, H = 2 · OLS-slope of ln tau vs ln lag.
-    * Lag-diff pairs come from an equi self-join on (user, rn−l) — the
-    * lag explode is a query constant, not data-dependent. */
+    * x[:−l])) for the reference's DEFAULT lags arange(2,64) = 2..63
+    * (timedom.py:249), H = 2 · OLS-slope of ln tau vs ln lag. Lag-diff
+    * pairs come from an equi self-join on (user, rn−l) — the lag explode
+    * is a query constant, not data-dependent. Lags whose diff series has
+    * exactly zero variance (single diff, or all diffs equal — decidable
+    * exactly on the integer lattice: s2·nd == s1²) are dropped on BOTH
+    * engines; the reference would produce ln(0) = −inf there (Spark's
+    * log returns NULL, DuckDB −inf — not hash-comparable). */
   def qHurst(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val pts = Tables.events(spark, dir)
       .select(col("user_id"), b100(col("value")).as("b"),
         row_number().over(w).as("rn"))
-    val lagged = pts.withColumn("l", explode(sequence(lit(2), lit(16))))
+    val lagged = pts.withColumn("l", explode(sequence(lit(2), lit(63))))
       .select(col("user_id"), col("rn"), col("b"), col("l"))
     val base = pts.select(col("user_id").as("u2"), col("rn").as("rn2"),
       col("b").as("b2"))
@@ -75,6 +95,7 @@ object SeqQueries {
     val tau = diffs.groupBy(col("user_id"), col("l")).agg(
       count(lit(1)).as("nd"),
       sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s2"))
+      .where(col("s2") * col("nd") =!= col("s1") * col("s1"))
       .select(col("user_id"),
         log(col("l").cast("double")).as("lx"),
         log(sqrt(sqrt(col("s2") / col("nd") -
@@ -258,17 +279,27 @@ object SeqQueries {
     "q_o1fit" ->
       """WITH v AS (
         |  SELECT user_id, round(value*100) AS b,
+        |    round(value*100) * round(value*100) AS y2,
+        |    abs(round(value*100) - 25000) AS y3,
         |    (row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id))::DOUBLE AS x
         |  FROM events),
         |a AS (
         |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
-        |    sum(b) AS sy, sum(x*b) AS sxy
+        |    sum(b) AS sy, sum(x*b) AS sxy,
+        |    sum(y2) AS sy2, sum(x*y2) AS sxy2,
+        |    sum(y3) AS sy3, sum(x*y3) AS sxy3
         |  FROM v GROUP BY user_id)
         |SELECT user_id,
         |  (n*sxy - sx*sy) / (n*sxx - sx*sx) / 100 AS slope,
         |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n / 100
-        |    AS intercept
+        |    AS intercept,
+        |  (n*sxy2 - sx*sy2) / (n*sxx - sx*sx) AS slope_sq,
+        |  (sy2 - (n*sxy2 - sx*sy2) / (n*sxx - sx*sx) * sx) / n
+        |    AS intercept_sq,
+        |  (n*sxy3 - sx*sy3) / (n*sxx - sx*sx) AS slope_absdev,
+        |  (sy3 - (n*sxy3 - sx*sy3) / (n*sxx - sx*sx) * sx) / n
+        |    AS intercept_absdev
         |FROM a ORDER BY user_id""".stripMargin,
     "q_hurst" ->
       """WITH v AS (
@@ -278,7 +309,7 @@ object SeqQueries {
         |  FROM events),
         |lagged AS (
         |  SELECT v.user_id, v.rn, v.b, u.l
-        |  FROM v, unnest(generate_series(2, 16)) AS u(l)),
+        |  FROM v, unnest(generate_series(2, 63)) AS u(l)),
         |diffs AS (
         |  SELECT lagged.user_id, lagged.l, lagged.b - v2.b AS d
         |  FROM lagged JOIN v v2 ON v2.user_id = lagged.user_id
@@ -287,7 +318,8 @@ object SeqQueries {
         |  SELECT user_id, ln(l::DOUBLE) AS lx,
         |    ln(sqrt(sqrt(sum(d*d)/count(*)
         |      - (sum(d)/count(*))*(sum(d)/count(*))))) AS ly
-        |  FROM diffs GROUP BY user_id, l),
+        |  FROM diffs GROUP BY user_id, l
+        |  HAVING sum(d*d) * count(*) <> sum(d) * sum(d)),
         |fit AS (
         |  SELECT user_id, count(*) AS k, sum(lx) AS sx, sum(lx*lx) AS sxx,
         |    sum(ly) AS sy, sum(lx*ly) AS sxy
@@ -345,7 +377,7 @@ object SeqQueries {
         |    sum(g1) AS t1, sum(g1*g1) AS t2,
         |    sum(g2) AS u1, sum(g2*g2) AS u2
         |  FROM g2t GROUP BY user_id)
-        |SELECT user_id, zc AS zero_crossings, ll/100 AS line_length,
+        |SELECT user_id, zc::BIGINT AS zero_crossings, ll/100 AS line_length,
         |  (s2/n - (s1/n)*(s1/n))/10000 AS hjorth_activity,
         |  sqrt(((t2/n - (t1/n)*(t1/n))/4) / (s2/n - (s1/n)*(s1/n)))
         |    AS hjorth_mobility,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.signal.{Butterworth, Ppg, Qrs, SampEn, PerEntity, Spectral}
+import graft.signal.{Butterworth, Ppg, Qrs, Quality, SampEn, PerEntity, Spectral}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,30 +73,56 @@ object SignalQueries {
   }
 
   /** Sample entropy per user (information.py:23-113): one O(n²) scan
-    * over each bounded series. */
+    * over each bounded series. Runs on the exact-integer b = value·100
+    * lattice with σ from the algebraic population-variance identity over
+    * exact integer sums, so the Chebyshev match predicate |Δ| < 0.2σ is
+    * bit-identical in the DuckDB oracle (sampen is scale-invariant, so
+    * the lattice does not change the statistic). */
   def qSampen(spark: SparkSession, dir: String): DataFrame = {
-    PerEntity.transform(spark, series(spark, dir),
-      "entity_id", "t", "value") { (_, vs) =>
-      Iterator.single((0L, SampEn.sampen(vs)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id").cast("string").as("entity_id"),
+        col("rn").as("t"), round(col("value") * 100).as("value"))
+    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+      val n = vs.length
+      var s1 = 0.0
+      var s2 = 0.0
+      vs.foreach { v => s1 += v; s2 += v * v } // exact: integers < 2^53
+      val sigma = math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+      Iterator.single((0L, SampEn.sampen(vs, 2, 0.2, Some(sigma))))
     }.select(col("entity_id"),
       round(Tables.nanToNull(col("out")), 6).as("sampen"))
       .orderBy(col("entity_id"))
   }
 
-  /** Frequency-domain HRV features per doc series (hrv.py:173-198 over
-    * a Breeze FFT; SURVEY.md §2.8): band power 5–15 Hz, peak frequency,
-    * relative band power, total |spectrum|. */
+  /** Frequency-domain HRV features (hrv.py:173-198 over a Breeze FFT;
+    * SURVEY.md §2.8): band power 5–15 Hz, peak frequency, relative band
+    * power, total |spectrum| — per user over the demeaned first 64
+    * samples of the events series at fs = 128 Hz. Hash-checked against
+    * a DIRECT-DFT DuckDB oracle (an independent O(N·K) evaluation of the
+    * same spectrum); outputs are rounded to 4 dp because FFT and direct
+    * DFT agree to ~1e-10 relative, not bitwise. */
   def qPowerBand(spark: SparkSession, dir: String): DataFrame = {
     val fs = Fs
-    PerEntity.transform(spark, tokenSeries(spark),
-      "entity_id", "t", "value") { (_, vs) =>
-      if (vs.length < 64) Iterator.empty
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 64)
+      .select(col("user_id").cast("string").as("entity_id"),
+        col("rn").as("t"), round(col("value") * 100).as("value"))
+    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+      if (vs.length < 64) Iterator.empty // users with < 64 events
       else {
-        val mean = vs.sum / vs.length
-        val f = Spectral.fft(vs.map(_ - mean))
-        val half = vs.length / 2
-        val freqs = Array.tabulate(half)(i => i * fs / vs.length)
-        val psd = f.take(half).map(_.abs)
+        var s = 0.0
+        vs.foreach(s += _) // exact integer sum
+        val mean = s / 64
+        val x = vs.map(v => (v - mean) / 100.0) // back to value units
+        val f = Spectral.fft(x)
+        val freqs = Array.tabulate(32)(i => i * fs / 64)
+        val psd = f.take(32).map(_.abs)
         Iterator(
           (0L, Spectral.powerBand(psd, freqs, 5, 15)),
           (1L, Spectral.peakFrequency(psd, freqs, 5, 15)),
@@ -104,10 +130,65 @@ object SignalQueries {
           (3L, psd.sum))
       }
     }.groupBy(col("entity_id")).pivot("t", Seq(0L, 1L, 2L, 3L))
-      .agg(first(round(col("out"), 6)))
+      .agg(first(round(col("out"), 4)))
       .withColumnsRenamed(Map("0" -> "band_power", "1" -> "peak_freq",
         "2" -> "rel_power", "3" -> "total_power"))
       .orderBy(col("entity_id"))
+  }
+
+  /** Beat-quality scoring (quality.py:22-43 — SURVEY.md §2.6): each
+    * user's b-lattice series is treated as a signal at sr = 8 with peaks
+    * at every odd position; quality(i) = nanmean Pearson correlation of
+    * beat i's ±sr/2 slice against the 24-slot beat ring buffer (future
+    * beats 1..23 pre-filled, slot 0 NaN until beat 24 — reference quirks
+    * preserved). Fully hash-checked: the buffer-slot contents at every
+    * beat have a closed form (largest k < i with k ≡ s mod 24, else the
+    * initial fill), and every moment sum is EXACT on both engines
+    * because the slice mean divides an exact integer sum by 8 (a power
+    * of two — exact in binary floating point), so only the final
+    * 24-term mean needs the shared 6-dp rounding. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id").cast("string").as("entity_id"),
+        col("rn").as("t"), round(col("value") * 100).as("value"))
+    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+      if (vs.length < 48) Iterator.empty // need >= 24 peaks
+      else {
+        val peaks = (1 until vs.length by 2).toArray
+        Quality.beatCorrelation(vs, peaks, 8).iterator.zipWithIndex
+          .map { case (q, i) => (i.toLong, q) }
+      }
+    }.select(col("entity_id"), col("t").as("peak_idx"),
+      // + 0.0 after round: normalize IEEE −0.0 (Spark's round drops the
+      // sign, DuckDB's keeps it — see q_accel)
+      (round(Tables.nanToNull(col("out")), 6) + 0.0).as("quality"))
+      .orderBy(col("entity_id"), col("peak_idx"))
+  }
+
+  /** Bidirectional beat quality (quality.py:46-101, interior semantics):
+    * max of mean correlation vs the previous / following 12 beats; edge
+    * beats NULL. Rows-only driver check; QualitySpec carries the
+    * numeric verification. */
+  def qQualityBi(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id").cast("string").as("entity_id"),
+        col("rn").as("t"), round(col("value") * 100).as("value"))
+    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+      if (vs.length < 48) Iterator.empty
+      else {
+        val peaks = (1 until vs.length by 2).toArray
+        Quality.beatCorrelationBi(vs, peaks, 8).iterator.zipWithIndex
+          .map { case (q, i) => (i.toLong, q) }
+      }
+    }.select(col("entity_id"), col("t").as("peak_idx"),
+      (round(Tables.nanToNull(col("out")), 6) + 0.0).as("quality_bi"))
+      .orderBy(col("entity_id"), col("peak_idx"))
   }
 
   /** Multimodal plumbing: binary media column → fake decode → frame
@@ -133,27 +214,29 @@ object SignalQueries {
     val ev = Tables.events(spark, dir)
       .select(col("user_id").cast("string").as("entity_id"),
         unix_micros(col("ts").cast("timestamp")).as("t"),
-        col("value"))
+        round(col("value") * 100).as("value"))
     PerEntity.transform(spark, ev, "entity_id", "t", "value") { (ts, vs) =>
       if (vs.length < 16) Iterator.empty
       else {
         val t0 = ts.head
         val span = (ts.last - t0).toDouble
         val x = ts.map(t => (t - t0) / span * 2 * math.Pi)
-        val mean = vs.sum / vs.length
+        var s = 0.0
+        vs.foreach(s += _) // exact integer sum on the b lattice
+        val mean = s / vs.length
         val c = vs.map(_ - mean)
         val m = 32
         val spec = Spectral.nufft1d1(x, c, m)
-        // positive-frequency half of the centered grid
+        // positive-frequency half of the centered grid, in value units
         val freqs = Spectral.nufftFreqs(m).drop(m / 2)
-        val psd = spec.drop(m / 2).map(_.abs)
+        val psd = spec.drop(m / 2).map(_.abs / 100.0)
         Iterator(
           (0L, Spectral.powerBand(psd, freqs, 1, 4)),
           (1L, Spectral.peakFrequency(psd, freqs, 1, 8)),
           (2L, Spectral.relativePowerBand(psd, freqs, 1, 4)))
       }
     }.groupBy(col("entity_id")).pivot("t", Seq(0L, 1L, 2L))
-      .agg(first(round(col("out"), 6)))
+      .agg(first(round(col("out"), 4)))
       .withColumnsRenamed(Map("0" -> "band_power_1_4",
         "1" -> "peak_freq_1_8", "2" -> "rel_power_1_4"))
       .orderBy(col("entity_id"))
@@ -166,11 +249,200 @@ object SignalQueries {
     "q_sampen" -> (qSampen _),
     "q_power_band" -> (qPowerBand _),
     "q_hrv_freq" -> (qHrvFreq _),
+    "q_quality" -> (qQuality _),
+    "q_quality_bi" -> (qQualityBi _),
     "q_media_features" -> (qMediaFeatures _)
   )
 
-  /** Intentionally empty: sequential IIR recursions and adaptive decision
-    * rules have no ANSI-SQL equivalent; the driver applies rows-only
-    * checks and SignalSpec carries the numeric verification. */
-  val oracle: Map[String, String] = Map.empty
+  /** DuckDB oracles. q_sampen is an exact pair count (template self-join
+    * with the Chebyshev predicate on the bit-identical r = 0.2σ);
+    * q_power_band / q_hrv_freq are DIRECT (NU)DFT evaluations — an
+    * independent O(N·K) computation of the spectrum the fast kernels
+    * approximate, compared at 4 dp. q_filtfilt/q_rpeaks/q_pulse_onsets/
+    * q_media_features remain rows-only: sequential IIR recursions and
+    * adaptive decision rules have no ANSI-SQL equivalent; SignalSpec
+    * carries their numeric verification. */
+  val oracle: Map[String, String] = Map(
+    "q_sampen" ->
+      """WITH v AS (
+        |  SELECT user_id, round(value*100) AS b,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - 1 AS i
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n,
+        |    0.2 * sqrt(sum(b*b)/count(*)
+        |      - (sum(b)/count(*))*(sum(b)/count(*))) AS r
+        |  FROM v GROUP BY user_id),
+        |tmpl AS (
+        |  SELECT user_id, i, b AS x0,
+        |    lead(b, 1) OVER (PARTITION BY user_id ORDER BY i) AS x1,
+        |    lead(b, 2) OVER (PARTITION BY user_id ORDER BY i) AS x2
+        |  FROM v),
+        |p AS (
+        |  SELECT a.user_id,
+        |    sum(CASE WHEN abs(a.x0 - c.x0) < st.r AND abs(a.x1 - c.x1) < st.r
+        |      THEN 1 ELSE 0 END) AS bb,
+        |    sum(CASE WHEN abs(a.x0 - c.x0) < st.r AND abs(a.x1 - c.x1) < st.r
+        |      AND abs(a.x2 - c.x2) < st.r THEN 1 ELSE 0 END) AS aa
+        |  FROM tmpl a
+        |  JOIN st ON st.user_id = a.user_id
+        |  JOIN tmpl c ON c.user_id = a.user_id AND a.i < c.i
+        |    AND c.i <= st.n - 3
+        |  WHERE a.i <= st.n - 3
+        |  GROUP BY a.user_id)
+        |SELECT st.user_id::VARCHAR AS entity_id,
+        |  CASE WHEN p.aa > 0 AND p.bb > 0
+        |    THEN round(-ln(p.aa::DOUBLE / p.bb), 6) END AS sampen
+        |FROM st LEFT JOIN p ON p.user_id = st.user_id
+        |ORDER BY entity_id""".stripMargin,
+    "q_power_band" ->
+      """WITH v AS (
+        |  SELECT user_id, round(value*100) AS b,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - 1 AS i
+        |  FROM events
+        |  QUALIFY i < 64),
+        |full64 AS (
+        |  SELECT user_id FROM v GROUP BY user_id HAVING count(*) = 64),
+        |x AS (
+        |  SELECT v.user_id, v.i,
+        |    (v.b - sum(v.b) OVER (PARTITION BY v.user_id) / 64) / 100.0 AS xn
+        |  FROM v JOIN full64 USING (user_id)),
+        |sp AS (
+        |  SELECT x.user_id, ks.k, 2.0 * ks.k AS f,
+        |    sqrt(pow(sum(x.xn * cos(2 * pi() * ks.k * x.i / 64.0)), 2)
+        |       + pow(sum(x.xn * sin(2 * pi() * ks.k * x.i / 64.0)), 2)) AS psd
+        |  FROM x, (SELECT unnest(generate_series(0, 31)) AS k) ks
+        |  GROUP BY x.user_id, ks.k),
+        |agg AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN f >= 5 AND f <= 15 THEN psd ELSE 0 END) AS band,
+        |    sum(psd) AS total
+        |  FROM sp GROUP BY user_id),
+        |pk AS (
+        |  SELECT user_id, f AS peak_f FROM (
+        |    SELECT user_id, f, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY psd DESC, k) AS rk
+        |    FROM sp WHERE f >= 5 AND f < 15) WHERE rk = 1)
+        |SELECT agg.user_id::VARCHAR AS entity_id,
+        |  round(band, 4) AS band_power,
+        |  round(pk.peak_f, 4) AS peak_freq,
+        |  round(band / total, 4) AS rel_power,
+        |  round(total, 4) AS total_power
+        |FROM agg JOIN pk USING (user_id)
+        |ORDER BY entity_id""".stripMargin,
+    // Ring-buffer closed form: before computing beat q, writes have
+    // happened for beat indices k in [1, W] with W = q-1 (interior) or
+    // P-2 (the last beat, computed after the loop); slot s therefore
+    // holds the slice of peak s + 24·max(0, (W-s)//24) for s in 1..23
+    // (falling back to the initial future-fill peak s) and of peak
+    // 24·(W//24) for s = 0 when W >= 24, else the NaN row (excluded).
+    // All slices are zero-padded ±4 windows around position 2·p+1; means
+    // divide exact integer sums by 8, so rvv/sxy/yvv are exact.
+    "q_quality" ->
+      """WITH v AS (
+        |  SELECT user_id, round(value*100) AS b,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - 1 AS i
+        |  FROM events),
+        |nn AS (
+        |  SELECT user_id, count(*) AS n, count(*) // 2 AS pcount
+        |  FROM v GROUP BY user_id HAVING count(*) >= 48),
+        |beats AS (
+        |  SELECT nn.user_id, b.bi, nn.pcount
+        |  FROM nn JOIN (SELECT unnest(generate_series(0, 4095)) AS bi) b
+        |    ON b.bi < nn.pcount),
+        |bw AS (
+        |  SELECT user_id, bi, pcount,
+        |    CASE WHEN bi <= pcount - 2 THEN bi - 1 ELSE pcount - 2 END AS wmax
+        |  FROM beats),
+        |bufmap AS (
+        |  SELECT b.user_id, b.bi, s.s,
+        |    CASE WHEN s.s = 0 THEN
+        |      CASE WHEN b.wmax >= 24 THEN 24 * (b.wmax // 24) END
+        |    ELSE s.s + 24 * greatest(0, (b.wmax - s.s) // 24) END AS bp
+        |  FROM bw b CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS s) s),
+        |ys AS (
+        |  SELECT b.user_id, b.bi, j.j, coalesce(vv.b, 0.0) AS yv
+        |  FROM bw b
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  LEFT JOIN v vv ON vv.user_id = b.user_id
+        |    AND vv.i = 2 * b.bi - 3 + j.j),
+        |ystat AS (
+        |  SELECT user_id, bi, sum(yv) / 8 AS ym FROM ys GROUP BY 1, 2),
+        |yvar AS (
+        |  SELECT y.user_id, y.bi,
+        |    sum((y.yv - t.ym) * (y.yv - t.ym)) AS yvv
+        |  FROM ys y JOIN ystat t ON t.user_id = y.user_id AND t.bi = y.bi
+        |  GROUP BY 1, 2),
+        |rws AS (
+        |  SELECT m.user_id, m.bi, m.s, j.j, coalesce(vv.b, 0.0) AS rv
+        |  FROM bufmap m
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  LEFT JOIN v vv ON vv.user_id = m.user_id
+        |    AND vv.i = 2 * m.bp - 3 + j.j
+        |  WHERE m.bp IS NOT NULL),
+        |rstat AS (
+        |  SELECT user_id, bi, s, sum(rv) / 8 AS rm FROM rws GROUP BY 1, 2, 3),
+        |mom AS (
+        |  SELECT r.user_id, r.bi, r.s,
+        |    sum((r.rv - rs.rm) * (r.rv - rs.rm)) AS rvv,
+        |    sum((r.rv - rs.rm) * (y.yv - t.ym)) AS sxy
+        |  FROM rws r
+        |  JOIN rstat rs ON rs.user_id = r.user_id AND rs.bi = r.bi
+        |    AND rs.s = r.s
+        |  JOIN ys y ON y.user_id = r.user_id AND y.bi = r.bi AND y.j = r.j
+        |  JOIN ystat t ON t.user_id = r.user_id AND t.bi = r.bi
+        |  GROUP BY 1, 2, 3),
+        |corr AS (
+        |  SELECT m.user_id, m.bi,
+        |    CASE WHEN sqrt(m.rvv / 8) * (sqrt(yv.yvv / 8) * 8) = 0 THEN 0.0
+        |      ELSE m.sxy / (sqrt(m.rvv / 8) * (sqrt(yv.yvv / 8) * 8)) END AS c
+        |  FROM mom m JOIN yvar yv ON yv.user_id = m.user_id
+        |    AND yv.bi = m.bi)
+        |SELECT user_id::VARCHAR AS entity_id, bi AS peak_idx,
+        |  round(sum(c) / count(*), 6) + 0.0 AS quality
+        |FROM corr GROUP BY user_id, bi
+        |ORDER BY entity_id, peak_idx""".stripMargin,
+    "q_hrv_freq" ->
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS t, round(value*100) AS b
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n, min(t) AS t0,
+        |    (max(t) - min(t))::DOUBLE AS span, sum(b) AS sb
+        |  FROM v GROUP BY user_id
+        |  HAVING count(*) >= 16),
+        |x AS (
+        |  SELECT v.user_id,
+        |    (v.t - st.t0) / st.span * 2 * pi() AS xj,
+        |    v.b - st.sb / st.n AS cj
+        |  FROM v JOIN st USING (user_id)),
+        |sp AS (
+        |  SELECT x.user_id, ks.k,
+        |    sqrt(pow(sum(x.cj * cos(ks.k * x.xj)), 2)
+        |       + pow(sum(x.cj * sin(ks.k * x.xj)), 2)) AS mag
+        |  FROM x, (SELECT unnest(generate_series(0, 15)) AS k) ks
+        |  GROUP BY x.user_id, ks.k),
+        |psd AS (
+        |  SELECT sp.user_id, sp.k, sp.mag / st.n / 100.0 AS p
+        |  FROM sp JOIN st USING (user_id)),
+        |agg AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN k >= 1 AND k <= 4 THEN p ELSE 0 END) AS band,
+        |    sum(p) AS total
+        |  FROM psd GROUP BY user_id),
+        |pk AS (
+        |  SELECT user_id, k::DOUBLE AS peak_f FROM (
+        |    SELECT user_id, k, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY p DESC, k) AS rk
+        |    FROM psd WHERE k >= 1 AND k < 8) WHERE rk = 1)
+        |SELECT agg.user_id::VARCHAR AS entity_id,
+        |  round(band, 4) AS band_power_1_4,
+        |  round(pk.peak_f, 4) AS peak_freq_1_8,
+        |  round(band / total, 4) AS rel_power_1_4
+        |FROM agg JOIN pk USING (user_id)
+        |ORDER BY entity_id""".stripMargin
+  )
 }

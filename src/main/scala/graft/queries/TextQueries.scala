@@ -27,7 +27,7 @@ object TextQueries {
       .select(col("doc_id"), toks.as("tokens"))
       .select(col("doc_id"),
         size(col("tokens")).as("n_tok"),
-        aggregate(col("tokens"), lit(0), (a, x) => a + x).as("tok_sum"),
+        aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("tok_sum"),
         array_max(col("tokens")).as("tok_max"),
         element_at(col("tokens"), 1).as("tok_first"),
         element_at(col("tokens"), -1).as("tok_last"))
@@ -178,7 +178,7 @@ object TextQueries {
         |    list_transform(string_split(text, ' '), w -> length(w)) AS tokens
         |  FROM documents)
         |SELECT doc_id, len(tokens) AS n_tok,
-        |  list_sum(tokens) AS tok_sum,
+        |  list_sum(tokens)::BIGINT AS tok_sum,
         |  list_max(tokens) AS tok_max,
         |  tokens[1] AS tok_first,
         |  tokens[len(tokens)] AS tok_last

@@ -52,7 +52,10 @@ object Ppg {
     val warm = math.min(n, samplingRate * 10)
     var th = 2 * std(x, 0, warm) + mean(x, 0, warm)
     var thSubStd = th - std(x, 0, warm)
-    val w150 = samplingRate / (1000 / 150)
+    // 150 ms in samples: the reference's int(sr / (1000/150)) is TRUE
+    // division then trunc = floor(0.15·sr); Scala's 1000/150 would
+    // integer-divide to 6 and give sr/6 (~0.167·sr) instead.
+    val w150 = (samplingRate * 150) / 1000
     val onsets = Array.newBuilder[Int]
     var i = w150
     var j = 0
@@ -96,7 +99,7 @@ object Ppg {
     val c = Butterworth.design(5,
       Seq(0.5 / (samplingRate / 2.0), 20.0 / (samplingRate / 2.0)),
       Butterworth.Bandpass)
-    val w = samplingRate / (1000 / 150)
+    val w = (samplingRate * 150) / 1000
     physionetDecisionRule(
       slopeSum(Butterworth.filtfilt(c, ppg), w), samplingRate)
   }

@@ -73,6 +73,9 @@ object Quality {
   def beatCorrelation(x: Array[Double], peaks: Array[Int],
                       samplingRate: Int): Array[Double] = {
     require(peaks.length >= 24, "reference fill loop assumes >= 24 peaks")
+    // odd sr would make slices 2·(sr/2) = sr−1 long vs sr-long buffer
+    // rows (the reference's numpy row assignment would raise there too)
+    require(samplingRate % 2 == 0, "samplingRate must be even")
     val hsr = samplingRate / 2
     val buf = Array.fill(24)(Array.fill(samplingRate)(Double.NaN))
     val quality = new Array[Double](peaks.length)

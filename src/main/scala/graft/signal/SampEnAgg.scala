@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions.{udaf, udf}
   */
 object SampEnAgg {
 
-  /** sampen over an array column (e.g. the raw tokens array). */
+  /** sampen over an array column (e.g. the raw tokens array); NULL
+    * arrays yield NULL (Spark passes null Seqs through to the lambda). */
   val arrayUdf = udf((xs: Seq[Int], mm: Int, rFactor: Double) =>
-    SampEn.sampen(xs.map(_.toDouble).toArray, mm, rFactor))
+    if (xs == null) Option.empty[Double]
+    else Some(SampEn.sampen(xs.map(_.toDouble).toArray, mm, rFactor)))
 
   final case class Buf(ts: Array[Long], vs: Array[Double])
 

@@ -114,6 +114,7 @@ object Spectral {
                     lower: Double, upper: Double): Double = {
     val lidx = firstIndex(freqs, lower)
     val uidx = math.min(firstIndex(freqs, upper), psd.length)
+    if (lidx >= uidx) return Double.NaN // empty [lower, upper) band
     var best = lidx
     var i = lidx
     while (i < uidx) {
