@@ -54,7 +54,9 @@ object DedupQueries {
     * then exact Jaccard verification on candidates only. */
   def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val sig = signatures(sh)
+    // signature table is 1 row/doc but costs 16 md5-min aggs over the
+    // exploded shingles — cache it so the band self-join computes it once
+    val sig = signatures(sh).cache()
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until K / Bands).map(r => col(s"sig${b * (K / Bands) + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
@@ -109,7 +111,10 @@ object DedupQueries {
     val fp = (0 until 16).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    val sims = agg.select(col("doc_id"), fp.as("simhash"))
+    // cache: the fingerprint table is 1 row/doc (tiny at any scale) but
+    // costs a full word-explode aggregation — the banded self-join would
+    // otherwise compute it once per side.
+    val sims = agg.select(col("doc_id"), fp.as("simhash")).cache()
     // 3 disjoint bands: bits [0,6), [6,11), [11,16)
     val bandCols = array(
       struct(lit(0).as("bi"), col("simhash").bitwiseAND(lit(63L)).as("bv")),
@@ -141,13 +146,17 @@ object DedupQueries {
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, p) => acc + p)
     val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 400)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    // norms are per-VECTOR work — compute them once per side, not per
+    // pair (the expression tree sqrt(dot(x,x)) is unchanged, so the
+    // oracle's floats still match bitwise)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
     broadcast(a).join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))),
-          6).as("cos_sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= 0.9)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -234,18 +243,19 @@ object DedupQueries {
       struct(lit(t).as("t"), tableBucket(col("embedding"), t).as("b"))): _*)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"),
         explode(buckets).as("bk"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         col("bk.t").as("t"), col("bk.b").as("b"))
     val q = emb.where(col("vec_id") < 20)
       .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-        col("t"), col("b"))
+        col("nrm").as("na"), col("t"), col("b"))
     val tt = emb.select(col("vec_id").as("b_id"),
-      col("embedding").as("eb"), col("t"), col("b"))
+      col("embedding").as("eb"), col("nrm").as("nb"), col("t"), col("b"))
+    // norms precomputed per vector; sqrt(dot(x,x)) tree unchanged so the
+    // oracle floats match bitwise
     val cos = round(
-      dotD(col("ea"), col("eb")) /
-        (sqrt(dotD(col("ea"), col("ea"))) * sqrt(dotD(col("eb"), col("eb")))),
-      6)
+      dotD(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
     val cand = broadcast(q).join(tt, Seq("t", "b"))
       .where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), cos.as("cos_sim"))

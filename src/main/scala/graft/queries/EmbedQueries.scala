@@ -28,13 +28,15 @@ object EmbedQueries {
   /** Top-3 cosine neighbors for each query vector (vec_id < 20). */
   def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // norms are per-vector work, computed once per side (the
+    // sqrt(dot(x,x)) tree is unchanged so the oracle floats match)
     val q = emb.where(col("vec_id") < 20)
-      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val t = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("na"))
+    val t = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nb"))
     val cos = round(
-      dot(col("ea"), col("eb")) /
-        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))),
-      6)
+      dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
     val scored = broadcast(q).join(t, col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
     val w = Window.partitionBy(col("a_id"))

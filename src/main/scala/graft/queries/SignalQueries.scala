@@ -258,11 +258,78 @@ object SignalQueries {
     * with the Chebyshev predicate on the bit-identical r = 0.2σ);
     * q_power_band / q_hrv_freq are DIRECT (NU)DFT evaluations — an
     * independent O(N·K) computation of the spectrum the fast kernels
-    * approximate, compared at 4 dp. q_filtfilt/q_rpeaks/q_pulse_onsets/
-    * q_media_features remain rows-only: sequential IIR recursions and
-    * adaptive decision rules have no ANSI-SQL equivalent; SignalSpec
-    * carries their numeric verification. */
+    * approximate, compared at 4 dp; q_filtfilt replays both IIR passes
+    * as recursive CTEs (see [[filtfiltOracle]]). q_rpeaks /
+    * q_pulse_onsets / q_media_features remain rows-only: adaptive
+    * decision rules with data-dependent skips have no reasonable SQL
+    * equivalent; SignalSpec carries their numeric verification. */
+  /** filtfilt as one SQL statement: the (b, a) coefficients and the
+    * lfilter_zi state come from the engine's OWN design() — embedded as
+    * shortest-roundtrip double literals, so DuckDB parses back the
+    * identical bits — and both IIR passes are recursive CTEs replaying
+    * the exact direct-form-II-transposed update order of
+    * Butterworth.lfilter. Every arithmetic step is then the same double
+    * chain on both engines; the compare is bit-exact under the shared
+    * 6-dp rounding. MATERIALIZED hints stop DuckDB from re-inlining the
+    * forward recursion into every backward iteration. */
+  private def filtfiltOracle: String = {
+    val c = Butterworth.design(4, Seq(0.2), Butterworth.Lowpass)
+    val zi = Butterworth.lfilterZi(c)
+    val Array(b0, b1, b2, b3, b4) = c.b
+    val Array(_, a1, a2, a3, a4) = c.a
+    val Array(z0, z1, z2, z3) = zi
+    val e = 3 * (c.a.length max c.b.length) // = 15, the padlen guard
+    def step(src: String): String =
+      s"""  SELECT e.user_id, e.m, $b0*e.xv + $z0*e.xv AS y,
+         |    $b1*e.xv + $z1*e.xv - $a1*($b0*e.xv + $z0*e.xv) AS z0,
+         |    $b2*e.xv + $z2*e.xv - $a2*($b0*e.xv + $z0*e.xv) AS z1,
+         |    $b3*e.xv + $z3*e.xv - $a3*($b0*e.xv + $z0*e.xv) AS z2,
+         |    $b4*e.xv - $a4*($b0*e.xv + $z0*e.xv) AS z3
+         |  FROM $src e WHERE e.m = 0
+         |  UNION ALL
+         |  SELECT e.user_id, e.m, $b0*e.xv + f.z0,
+         |    $b1*e.xv + f.z1 - $a1*($b0*e.xv + f.z0),
+         |    $b2*e.xv + f.z2 - $a2*($b0*e.xv + f.z0),
+         |    $b3*e.xv + f.z3 - $a3*($b0*e.xv + f.z0),
+         |    $b4*e.xv - $a4*($b0*e.xv + f.z0)""".stripMargin
+    s"""WITH RECURSIVE v AS MATERIALIZED (
+       |  SELECT user_id, value AS x,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      - 1 AS i,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events
+       |  QUALIFY n > $e),
+       |x0 AS (SELECT user_id, x AS xf FROM v WHERE i = 0),
+       |xl AS (SELECT v.user_id, v.x AS xl, v.n FROM v WHERE v.i = v.n - 1),
+       |ext AS MATERIALIZED (
+       |  SELECT v.user_id, $e - v.i AS m, 2*x0.xf - v.x AS xv
+       |  FROM v JOIN x0 USING (user_id) WHERE v.i BETWEEN 1 AND $e
+       |  UNION ALL
+       |  SELECT user_id, i + $e, x FROM v
+       |  UNION ALL
+       |  SELECT v.user_id, $e - 2 + 2*v.n - v.i, 2*xl.xl - v.x
+       |  FROM v JOIN xl USING (user_id)
+       |  WHERE v.i BETWEEN v.n - 1 - $e AND v.n - 2),
+       |fwd AS (
+       |${step("ext")}
+       |  FROM fwd f JOIN ext e ON e.user_id = f.user_id AND e.m = f.m + 1),
+       |lens AS MATERIALIZED (SELECT user_id, n + 2*$e AS L FROM xl),
+       |rv AS MATERIALIZED (
+       |  SELECT f.user_id, lens.L - 1 - f.m AS m, f.y AS xv
+       |  FROM fwd f JOIN lens USING (user_id)),
+       |bwd AS (
+       |${step("rv")}
+       |  FROM bwd f JOIN rv e ON e.user_id = f.user_id AND e.m = f.m + 1)
+       |SELECT b.user_id::VARCHAR AS entity_id,
+       |  lens.L - 1 - b.m - $e + 1 AS t,
+       |  round(b.y, 6) AS filtered
+       |FROM bwd b JOIN lens USING (user_id)
+       |WHERE lens.L - 1 - b.m BETWEEN $e AND lens.L - $e - 1
+       |ORDER BY entity_id, t""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_filtfilt" -> filtfiltOracle,
     "q_sampen" ->
       """WITH v AS (
         |  SELECT user_id, round(value*100) AS b,

@@ -127,4 +127,40 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("sessionize with tieCols: tied (entity, ts) rows are deterministic " +
+    "and ties never change session values") {
+    // inject heavy ties: every ts duplicated 3x with distinct event ids
+    val g = Gen.zip(seriesGen, Gen.choose(1L, 20L))
+    forSamples(g) { case (series, gap) =>
+        if (series.nonEmpty) {
+          val rows = series.flatMap { case (t, v) =>
+            Seq(("e", t, 3 * t, v), ("e", t, 3 * t + 1, v + 1),
+              ("e", t, 3 * t + 2, v + 2))
+          }
+          val df = rows.toDF("entity_id", "ts", "event_id", "value")
+          def run() = Sessionize
+            .withSessionId(df, "entity_id", "ts", gap,
+              tieCols = Seq("event_id"))
+            .orderBy($"ts", $"event_id").collect()
+            .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(4))
+            .toMap
+          val got = run()
+          assert(got == run(), "two runs disagree under ties")
+          // tied rows share the session id of their timestamp, which must
+          // equal the naive gap scan over distinct timestamps
+          val ts = series.map(_._1).distinct.sorted
+          var sid = 0L
+          var prev = Option.empty[Long]
+          val want = ts.map { t =>
+            prev.foreach(p => if (t - p > gap) sid += 1)
+            prev = Some(t)
+            t -> sid
+          }.toMap
+          got.foreach { case ((t, _), s) =>
+            assert(s == want(t), s"ts=$t gap=$gap")
+          }
+        }
+    }
+  }
 }
