@@ -143,6 +143,50 @@ object TextQueries {
     ).orderBy(col("doc_id"))
   }
 
+  /** Document fingerprinting (rolling hash + winnowing, the MOSS
+    * scheme): polynomial hash h(g) = Σ t_j·B^(k−1−j) mod M over each
+    * k-gram of the token stream, then one fingerprint per window of W
+    * consecutive k-gram hashes (the window minimum) — the fingerprint
+    * SET identifies near-identical passages at any scale. Everything is
+    * exact 64-bit integer arithmetic (B=131, M=1e9+7: acc·B+x < 2^63),
+    * per-row array work with zero joins. Also emits a BPE-ish regex
+    * token count (greedy ≤4-char chunks — identical in Java regex and
+    * RE2 for this corpus's [a-z ] alphabet). */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val B = 131L
+    val K = 8
+    val W = 4
+    val tk = toks
+    def polyHash(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => (acc * B + x) % M)
+    // k-gram rolling hashes; sequence() descends for short docs — guard
+    val kg = when(size(tk) >= K,
+      transform(sequence(lit(0), size(tk) - K), i =>
+        polyHash(slice(tk, i + 1, lit(K)))))
+      .otherwise(array().cast("array<bigint>"))
+    // winnowing: one fingerprint (min) per window of W k-gram hashes
+    val wins = when(size(kg) >= W,
+      transform(sequence(lit(0), size(kg) - W), i =>
+        array_min(slice(kg, i + 1, lit(W)))))
+      .otherwise(array().cast("array<bigint>"))
+    val fps = array_distinct(wins)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), kg.as("kg"), fps.as("fps"),
+        polyHash(tk).as("full_hash"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"),
+        size(col("kg")).cast("long").as("n_kgrams"),
+        col("full_hash"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"),
+        col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal-column plumbing: text bytes treated as an opaque binary
     * payload with typed metadata; the decode step is a clearly-marked
     * deterministic STUB (no image/audio libs in this container) — the
@@ -164,6 +208,7 @@ object TextQueries {
     "q_tokens_build" -> (qTokensBuild _),
     "q_tokens_window" -> (qTokensWindow _),
     "q_tokens_bigrams" -> (qTokensBigrams _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_word_jaccard" -> (qWordJaccard _),
     "q_text_quality" -> (qTextQuality _),
@@ -219,6 +264,38 @@ object TextQueries {
         |  count(DISTINCT tok) AS n_unigram,
         |  count(DISTINCT bigram) AS n_bigram
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text, tokens,
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(generate_series(0, len(tokens) - 8), i ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |            list_slice(tokens, i + 1, i + 8)),
+        |          (acc, x) -> (acc * 131 + x) % 1000000007))
+        |    ELSE [] END AS kg
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id, text, tokens, kg,
+        |    list_distinct(CASE WHEN len(kg) >= 4 THEN
+        |      list_transform(generate_series(0, len(kg) - 4), i ->
+        |        list_min(list_slice(kg, i + 1, i + 4)))
+        |    ELSE [] END) AS fps
+        |  FROM k)
+        |SELECT doc_id,
+        |  len(kg)::BIGINT AS n_kgrams,
+        |  list_reduce(list_prepend(0::BIGINT, tokens),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS full_hash,
+        |  len(fps)::BIGINT AS n_fp,
+        |  coalesce(list_sum(fps)::BIGINT, 0) AS fp_sum,
+        |  list_min(fps) AS fp_min,
+        |  list_max(fps) AS fp_max,
+        |  len(regexp_extract_all(text, '[a-z]{1,4}'))::BIGINT
+        |    AS n_bpe_tokens
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS rep_doc
