@@ -57,8 +57,57 @@ object StreamOps {
                                 value: Double, n: Int, f_mean: Double,
                                 f_std: Double, f_rmssd: Double)
 
+  final case class TaggedPoint(entity_id: String, ts: Long, value: Double,
+                               is_ref: Boolean)
+
+  final case class AsOfState(refTs: Long, refValue: Double, hasRef: Boolean)
+
+  final case class EnrichedPoint(entity_id: String, ts: Long, value: Double,
+                                 ref_ts: Option[Long],
+                                 ref_value: Option[Double])
+
+  /** Streaming point-in-time enrichment — the streaming dual of
+    * `operators/AsOf.joinBackward` (which is itself union + running
+    * last-non-null): the event stream and the reference stream are
+    * tag-unioned, grouped by entity, and a single O(1) state cell
+    * carries the latest reference row. Backward-INCLUSIVE: at equal ts
+    * the reference applies (refs sort first inside a batch), exactly
+    * like the batch operator's `t >= ref_ts`. Zero look-ahead by
+    * construction: state only ever contains past rows at emit time.
+    *
+    * Cross-batch ordering is event-time-correct only for rows arriving
+    * no later than the configured watermark allows — the same contract
+    * as any streaming join; the batch operator is parity-authoritative. */
+  def streamingAsOf(left: Dataset[SeqPoint], right: Dataset[SeqPoint])
+                   (implicit spark: SparkSession): Dataset[EnrichedPoint] = {
+    import spark.implicits._
+    val tagged =
+      left.map(p => TaggedPoint(p.entity_id, p.ts, p.value, is_ref = false))
+        .union(
+          right.map(p => TaggedPoint(p.entity_id, p.ts, p.value,
+            is_ref = true)))
+    tagged.groupByKey(_.entity_id)
+      .flatMapGroupsWithState[AsOfState, EnrichedPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (entity, rows, state: GroupState[AsOfState]) =>
+          // batch-local event-time order; refs first at equal ts
+          val sorted = rows.toSeq.sortBy(p => (p.ts, !p.is_ref))
+          var st = state.getOption.getOrElse(AsOfState(0L, 0.0, hasRef = false))
+          val out = Seq.newBuilder[EnrichedPoint]
+          sorted.foreach { p =>
+            if (p.is_ref) st = AsOfState(p.ts, p.value, hasRef = true)
+            else out += EnrichedPoint(entity, p.ts, p.value,
+              if (st.hasRef) Some(st.refTs) else None,
+              if (st.hasRef) Some(st.refValue) else None)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Per-event feature vectors with bounded per-entity state — the
-    * streaming as-of: each emitted row sees only rows at ts' <= ts. */
+    * streaming rolling scan: each emitted row sees only rows at
+    * ts' <= ts. */
   def rollingVectors(points: Dataset[SeqPoint], capacity: Int)
                     (implicit spark: SparkSession): Dataset[StreamVector] = {
     import spark.implicits._

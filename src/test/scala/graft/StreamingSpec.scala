@@ -90,4 +90,61 @@ class StreamingSpec extends SparkSpec {
         s"std@$t")
     }
   }
+
+  test("streamingAsOf matches the batch backward as-of join and never " +
+    "references a future ref row") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // deterministic interleaved event/ref streams for two entities,
+    // incl. an equal-ts collision (ts=30: backward-INCLUSIVE -> ref at
+    // 30 applies to the event at 30) and an event before any ref
+    val leftRows = Seq(
+      SeqPoint("e", 5L, 1.0, "web"), SeqPoint("e", 12L, 2.0, "web"),
+      SeqPoint("e", 30L, 3.0, "web"), SeqPoint("e", 47L, 4.0, "web"),
+      SeqPoint("f", 8L, 5.0, "web"), SeqPoint("f", 60L, 6.0, "web"))
+    val rightRows = Seq(
+      SeqPoint("e", 10L, 100.0, "web"), SeqPoint("e", 30L, 300.0, "web"),
+      SeqPoint("e", 45L, 450.0, "web"),
+      SeqPoint("f", 50L, 500.0, "web"))
+    val lIn = MemoryStream[SeqPoint]
+    val rIn = MemoryStream[SeqPoint]
+    // batch 1: everything up to ts < 40; batch 2: the rest (monotonic
+    // across batches, so state carry-over is exercised)
+    lIn.addData(leftRows.filter(_.ts < 40): _*)
+    rIn.addData(rightRows.filter(_.ts < 40): _*)
+    val stream = StreamOps.streamingAsOf(lIn.toDS(), rIn.toDS())
+    val q = stream.writeStream.format("memory").queryName("asof_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    lIn.addData(leftRows.filter(_.ts >= 40): _*)
+    rIn.addData(rightRows.filter(_.ts >= 40): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_tbl").collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toMap
+    assert(got.size == leftRows.size)
+    // zero look-ahead: ref_ts <= ts always
+    got.foreach { case ((_, t), (rts, _)) =>
+      rts.foreach(rt => assert(rt <= t, s"leakage at ts=$t: ref_ts=$rt"))
+    }
+    // batch oracle: AsOf.joinBackward on the same rows
+    val lDf = leftRows.map(p => (p.entity_id, p.ts, p.value))
+      .toDF("entity_id", "ts", "value")
+    val rDf = rightRows.map(p => (p.entity_id, p.ts, p.value))
+      .toDF("entity_id", "ts", "ref_value")
+    val oracle = graft.operators.AsOf
+      .joinBackward(lDf, rDf, "entity_id", "ts", rightPrefix = "last_")
+      .collect().map { r =>
+      (r.getString(r.fieldIndex("entity_id")),
+        r.getLong(r.fieldIndex("ts"))) ->
+        (if (r.isNullAt(r.fieldIndex("last_ts"))) None
+        else Some(r.getLong(r.fieldIndex("last_ts"))),
+          if (r.isNullAt(r.fieldIndex("last_ref_value"))) None
+          else Some(r.getDouble(r.fieldIndex("last_ref_value"))))
+    }.toMap
+    assert(got == oracle, s"\ngot    $got\noracle $oracle")
+  }
 }
