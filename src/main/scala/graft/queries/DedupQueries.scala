@@ -142,9 +142,7 @@ object DedupQueries {
   /** Embedding-cosine near-duplicates: exact pairs with cos >= 0.9
     * among vec_id < 400 (brute-force verification tier of ANN dedup). */
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, p) => acc + p)
+    def dot(x: Column, y: Column): Column = graft.functions.Vectors.dot(x, y)
     val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 400)
     // norms are per-VECTOR work — compute them once per side, not per
     // pair (the expression tree sqrt(dot(x,x)) is unchanged, so the
@@ -167,22 +165,20 @@ object DedupQueries {
     * search cost is proportional to the largest bucket — the histogram
     * IS the skew diagnostic. */
   def qAnnLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, p) => acc + p)
+    def dot(x: Column, y: Column): Column = graft.functions.Vectors.dot(x, y)
     val emb = Tables.embeddings(spark, dir)
     // h_i[d] = +1 if ((i*2654435761 + d*40503) mod 97) < 48 else -1:
-    // integer arithmetic, identical in any engine.
+    // integer arithmetic, identical in any engine. Projections via the
+    // native SparseSignedDotExpr (dense dims 0..63) — compact codegen.
     val dim = 64
-    val planes = (0 until 8).map { i =>
+    val bucket = (0 until 8).map { i =>
       val signs = (0 until dim).map { d =>
         if (((i.toLong * 2654435761L + d.toLong * 40503L) % 97) < 48) 1.0
         else -1.0
       }
-      array(signs.map(lit): _*)
-    }
-    val bucket = planes.zipWithIndex.map { case (h, i) =>
-      when(dot(col("embedding"), h) > 0, lit(1L << i)).otherwise(0L)
+      when(graft.functions.Vectors.sparseSignedDot(
+        col("embedding"), 0 until dim, signs) > 0, lit(1L << i))
+        .otherwise(0L)
     }.reduce(_ + _)
     emb.select(col("vec_id"), bucket.as("bucket"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -191,20 +187,9 @@ object DedupQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Native codegen'd dot product — bit-identical to the HOF form. */
   private def dotD(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, p) => acc + p)
-
-  /** Shared deterministic hyperplane bucket expression (8 planes). */
-  private[queries] def lshBucket(emb: Column, dim: Int = 64): Column =
-    (0 until 8).map { i =>
-      val signs = (0 until dim).map { d =>
-        if (((i.toLong * 2654435761L + d.toLong * 40503L) % 97) < 48) 1.0
-        else -1.0
-      }
-      when(dotD(emb, array(signs.map(lit): _*)) > 0, lit(1L << i))
-        .otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.Vectors.dot(x, y)
 
   /** Multi-table LSH parameters: L hash tables of k sparse random
     * hyperplanes (8 signed dims each). For the test embeddings, whose
@@ -227,9 +212,9 @@ object DedupQueries {
 
   private def tableBucket(emb: Column, t: Int): Column =
     (0 until LshPlanes).map { i =>
-      val proj = planeTerms(t, i).map { case (d, s) =>
-        element_at(emb, d + 1).cast("double") * s
-      }.reduce(_ + _)
+      val terms = planeTerms(t, i)
+      val proj = graft.functions.Vectors.sparseSignedDot(
+        emb, terms.map(_._1), terms.map(_._2))
       when(proj > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object EmbedQueries {
 
+  /** Native codegen'd dot product (functions/VectorExprs) — same float
+    * semantics as the aggregate(zip_with(...)) HOF it replaced. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.Vectors.dot(a, b)
 
   /** Top-3 cosine neighbors for each query vector (vec_id < 20). */
   def qEmbedTopk(spark: SparkSession, dir: String): DataFrame = {

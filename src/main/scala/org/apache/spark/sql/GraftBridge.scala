@@ -13,4 +13,11 @@ object GraftBridge {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Column <-> Expression for graft's native Catalyst expressions. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
