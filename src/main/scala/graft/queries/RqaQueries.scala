@@ -38,10 +38,14 @@ object RqaQueries {
     val a = pts.select(col("user_id"), col("rn").as("i"), col("b").as("bi"))
     val b = pts.select(col("user_id").as("u2"), col("rn").as("j"),
       col("b").as("bj"))
-    // full symmetric matrix incl. the main diagonal (i == j)
+    // full symmetric matrix incl. the main diagonal (i == j); cached:
+    // three independent run-length scans (diagonal, vertical,
+    // laminarity) consume it, and each would otherwise re-run the
+    // bounded self-join (capped at 64 rows/entity — a query constant)
     val pairs = a.join(b, col("user_id") === col("u2"))
       .where(abs(col("bi") - col("bj")) <= R)
       .select(col("user_id"), col("i"), col("j"))
+      .cache()
 
     def runLengths(groupCol: org.apache.spark.sql.Column,
                    name: String): DataFrame = {

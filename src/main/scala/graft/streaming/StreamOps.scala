@@ -57,6 +57,25 @@ object StreamOps {
                                 value: Double, n: Int, f_mean: Double,
                                 f_std: Double, f_rmssd: Double)
 
+  /** Streaming exact deduplication — the streaming dual of
+    * q_dedup_exact's hash-groupBy: emits the FIRST document seen per
+    * content hash. With a watermark the state is bounded
+    * (dropDuplicatesWithinWatermark evicts hashes older than the
+    * watermark — the 100-TB-stream posture: dedup state scales with the
+    * dedup horizon, not the stream length); without one it keeps exact
+    * all-time state (only for bounded reprocessing jobs). */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  eventTimeCol: Option[String] = None,
+                  watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash",
+      md5(col(textCol).cast("binary")))
+    eventTimeCol match {
+      case Some(t) => hashed.withWatermark(t, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   final case class TaggedPoint(entity_id: String, ts: Long, value: Double,
                                is_ref: Boolean)
 

@@ -147,4 +147,26 @@ class StreamingSpec extends SparkSpec {
     }.toMap
     assert(got == oracle, s"\ngot    $got\noracle $oracle")
   }
+
+  test("dedupStream emits the first document per content hash across " +
+    "micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val stream = StreamOps.dedupStream(docs)
+    val q = stream.writeStream.format("memory").queryName("dedup_tbl")
+      .outputMode("append").start()
+    input.addData((1L, "aa"), (2L, "bb"), (3L, "aa"))
+    q.processAllAvailable()
+    input.addData((4L, "bb"), (5L, "cc"), (6L, "aa"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_tbl").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // one row per distinct text; doc 1 and 2 are the batch-1 firsts;
+    // "cc" first appears as doc 5 in batch 2
+    assert(got.values.toSeq.sorted == Seq("aa", "bb", "cc"))
+    assert(got.contains(5L))
+    assert(!got.contains(3L) && !got.contains(4L) && !got.contains(6L))
+  }
 }
