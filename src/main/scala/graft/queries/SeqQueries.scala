@@ -267,7 +267,32 @@ object SeqQueries {
       .orderBy(col("user_id"))
   }
 
+  /** All-pairs haversine (the reference's haversine_outer_product,
+    * distance.py — SURVEY §2.4): pairwise distances between each user's
+    * anchor coordinate (derived from the first event id, same synthetic
+    * mapping as q_geo). One row per user pair — the broadcast
+    * nested-loop shape: the anchor table is 1 row/entity (tiny at any
+    * scale), so the small side broadcasts and the pair count is
+    * entities², an analysis-tier output, not a data-scale one. */
+  def qGeoPairs(spark: SparkSession, dir: String): DataFrame = {
+    val anchors = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("eid"))
+      .select(col("user_id"),
+        ((col("eid") * 37 % 17000).cast("double") / 100.0 - 85.0).as("lat"),
+        ((col("eid") * 73 % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+    val a = anchors.select(col("user_id").as("u1"), col("lat").as("lat1"),
+      col("lon").as("lon1"))
+    val b = anchors.select(col("user_id").as("u2"), col("lat").as("lat2"),
+      col("lon").as("lon2"))
+    broadcast(a).join(b, col("u1") < col("u2"))
+      .select(col("u1"), col("u2"),
+        round(Geo.haversine(col("lat1"), col("lon1"),
+          col("lat2"), col("lon2")), 4).as("dist_km"))
+      .orderBy(col("u1"), col("u2"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
+    "q_geo_pairs" -> (qGeoPairs _),
     "q_mode" -> (qMode _),
     "q_o1fit" -> (qO1fit _),
     "q_hurst" -> (qHurst _),
@@ -278,6 +303,23 @@ object SeqQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_geo_pairs" ->
+      """WITH p AS (
+        |  SELECT user_id, min(event_id) AS eid FROM events
+        |  GROUP BY user_id),
+        |c AS (
+        |  SELECT user_id,
+        |    ((eid * 37) % 17000)::DOUBLE / 100.0 - 85.0 AS lat,
+        |    ((eid * 73) % 36000)::DOUBLE / 100.0 - 180.0 AS lon
+        |  FROM p)
+        |SELECT a.user_id AS u1, b.user_id AS u2,
+        |  round(12742.018 * asin(sqrt(
+        |    sin((radians(b.lat) - radians(a.lat)) / 2.0)^2
+        |    + cos(radians(a.lat)) * cos(radians(b.lat))
+        |      * sin((radians(b.lon) - radians(a.lon)) / 2.0)^2)), 4)
+        |    AS dist_km
+        |FROM c a JOIN c b ON a.user_id < b.user_id
+        |ORDER BY u1, u2""".stripMargin,
     "q_mode" ->
       """WITH c AS (
         |  SELECT user_id, (round(value*100))::BIGINT AS bi, count(*) AS cnt
