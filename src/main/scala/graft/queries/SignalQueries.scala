@@ -405,6 +405,11 @@ object SignalQueries {
     // holds the slice of peak s + 24·max(0, (W-s)//24) for s in 1..23
     // (falling back to the initial future-fill peak s) and of peak
     // 24·(W//24) for s = 0 when W >= 24, else the NaN row (excluded).
+    // NOT a silent cap: the beat-index range 0..4095 covers any user
+    // with up to 8191 events — 12x the sf0.1 per-user series (~666) and
+    // far beyond the sf0.01 gate (~66); a decorrelated constant range
+    // is required because DuckDB cannot LEFT JOIN below a correlated
+    // unnest (see PLANS_r2.md / memory notes).
     // All slices are zero-padded ±4 windows around position 2·p+1; means
     // divide exact integer sums by 8, so rvv/sxy/yvv are exact.
     "q_quality" ->
