@@ -170,8 +170,8 @@ object SignalQueries {
 
   /** Bidirectional beat quality (quality.py:46-101, interior semantics):
     * max of mean correlation vs the previous / following 12 beats; edge
-    * beats NULL. Rows-only driver check; QualitySpec carries the
-    * numeric verification. */
+    * beats NULL. Fully hash-checked — the prev/succ ring buffers have
+    * closed forms like q_quality's (see the oracle SQL comments). */
   def qQualityBi(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -259,10 +259,12 @@ object SignalQueries {
     * q_power_band / q_hrv_freq are DIRECT (NU)DFT evaluations — an
     * independent O(N·K) computation of the spectrum the fast kernels
     * approximate, compared at 4 dp; q_filtfilt replays both IIR passes
-    * as recursive CTEs (see [[filtfiltOracle]]). q_rpeaks /
-    * q_pulse_onsets / q_media_features remain rows-only: adaptive
-    * decision rules with data-dependent skips have no reasonable SQL
-    * equivalent; SignalSpec carries their numeric verification. */
+    * as recursive CTEs (see [[filtfiltOracle]]); q_quality/_bi
+    * reconstruct the reference's ring buffers in closed form. Only
+    * q_rpeaks / q_pulse_onsets / q_media_features remain rows-only:
+    * adaptive decision rules with data-dependent skips have no
+    * reasonable SQL equivalent; SignalSpec carries their numeric
+    * verification. */
   /** filtfilt as one SQL statement: the (b, a) coefficients and the
     * lfilter_zi state come from the engine's OWN design() — embedded as
     * shortest-roundtrip double literals, so DuckDB parses back the
@@ -476,6 +478,110 @@ object SignalQueries {
         |SELECT user_id::VARCHAR AS entity_id, bi AS peak_idx,
         |  round(sum(c) / count(*), 6) + 0.0 AS quality
         |FROM corr GROUP BY user_id, bi
+        |ORDER BY entity_id, peak_idx""".stripMargin,
+    // Bidirectional variant: beats run over [11, B) with B the first
+    // beat whose slice clips the signal; prev slot s holds the latest
+    // processed beat ≡ s (mod 12), else the all-zero row (corr 0, NOT
+    // excluded — unlike q_quality's NaN slot); succ slot s holds the
+    // latest WRITE walking down the write regions — zero-write when the
+    // source beat index reaches P−12, a real slice while it is below
+    // T−12 (T = first peak within sr of the signal end), stale (skip
+    // down 12) in between, initial future-fill peak s otherwise.
+    // quality_bi = max(prev mean, succ mean) over 12 slots each.
+    // NB: DuckDB `//` truncates toward zero for negative numerators —
+    // the (bi−1−s) and (T−13−s) quotients are guarded non-negative.
+    "q_quality_bi" ->
+      """WITH v AS (
+        |  SELECT user_id, round(value*100) AS b,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - 1 AS i
+        |  FROM events),
+        |nn AS (
+        |  SELECT user_id, count(*) AS n, count(*) // 2 AS pcount
+        |  FROM v GROUP BY user_id HAVING count(*) >= 48),
+        |cst AS (
+        |  SELECT user_id, n, pcount,
+        |    least(pcount, (n - 5) // 2 + 1) AS bend,
+        |    (n - 8) // 2 AS tthr
+        |  FROM nn),
+        |beats AS (
+        |  SELECT c.user_id, b.bi, c.pcount, c.tthr, c.bend
+        |  FROM cst c JOIN (SELECT unnest(generate_series(0, 4095)) AS bi) b
+        |    ON b.bi < c.pcount),
+        |comp AS (SELECT * FROM beats WHERE bi >= 11 AND bi < bend),
+        |slots AS (SELECT unnest(generate_series(0, 11)) AS s),
+        |pmap AS (
+        |  SELECT c.user_id, c.bi, s.s,
+        |    CASE WHEN c.bi - 1 >= s.s
+        |          AND s.s + 12 * ((c.bi - 1 - s.s) // 12) >= 11
+        |         THEN s.s + 12 * ((c.bi - 1 - s.s) // 12) END AS bp
+        |  FROM comp c CROSS JOIN slots s),
+        |smap AS (
+        |  SELECT user_id, bi, s,
+        |    CASE
+        |      WHEN ks < 11 THEN init
+        |      WHEN ks >= pcount - 12 THEN NULL
+        |      WHEN ks < tthr - 12 THEN ks + 12
+        |      WHEN k2 >= 11 THEN k2 + 12
+        |      ELSE init
+        |    END AS bp
+        |  FROM (
+        |    SELECT c.user_id, c.bi, s.s, c.pcount, c.tthr,
+        |      CASE WHEN c.bi - 1 >= s.s
+        |           THEN s.s + 12 * ((c.bi - 1 - s.s) // 12) ELSE -1 END AS ks,
+        |      CASE WHEN c.tthr - 13 >= s.s
+        |           THEN s.s + 12 * ((c.tthr - 13 - s.s) // 12) ELSE -1 END AS k2,
+        |      CASE WHEN s.s >= 1 THEN s.s END AS init
+        |    FROM comp c CROSS JOIN slots s)),
+        |ys AS (
+        |  SELECT c.user_id, c.bi, j.j, coalesce(vv.b, 0.0) AS yv
+        |  FROM comp c
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  LEFT JOIN v vv ON vv.user_id = c.user_id
+        |    AND vv.i = 2 * c.bi - 3 + j.j),
+        |ystat AS (SELECT user_id, bi, sum(yv) / 8 AS ym FROM ys GROUP BY 1, 2),
+        |yvar AS (
+        |  SELECT y.user_id, y.bi, sum((y.yv - t.ym) * (y.yv - t.ym)) AS yvv
+        |  FROM ys y JOIN ystat t ON t.user_id = y.user_id AND t.bi = y.bi
+        |  GROUP BY 1, 2),
+        |allmap AS (
+        |  SELECT user_id, bi, 0 AS side, s, bp FROM pmap
+        |  UNION ALL
+        |  SELECT user_id, bi, 1 AS side, s, bp FROM smap),
+        |rws AS (
+        |  SELECT m.user_id, m.bi, m.side, m.s, j.j, coalesce(vv.b, 0.0) AS rv
+        |  FROM allmap m
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+        |  LEFT JOIN v vv ON vv.user_id = m.user_id
+        |    AND vv.i = 2 * m.bp - 3 + j.j),
+        |rstat AS (
+        |  SELECT user_id, bi, side, s, sum(rv) / 8 AS rm
+        |  FROM rws GROUP BY 1, 2, 3, 4),
+        |mom AS (
+        |  SELECT r.user_id, r.bi, r.side, r.s,
+        |    sum((r.rv - rs.rm) * (r.rv - rs.rm)) AS rvv,
+        |    sum((r.rv - rs.rm) * (y.yv - t.ym)) AS sxy
+        |  FROM rws r
+        |  JOIN rstat rs ON rs.user_id = r.user_id AND rs.bi = r.bi
+        |    AND rs.side = r.side AND rs.s = r.s
+        |  JOIN ys y ON y.user_id = r.user_id AND y.bi = r.bi AND y.j = r.j
+        |  JOIN ystat t ON t.user_id = r.user_id AND t.bi = r.bi
+        |  GROUP BY 1, 2, 3, 4),
+        |corr AS (
+        |  SELECT m.user_id, m.bi, m.side,
+        |    CASE WHEN sqrt(m.rvv / 8) * (sqrt(yv.yvv / 8) * 8) = 0 THEN 0.0
+        |      ELSE m.sxy / (sqrt(m.rvv / 8) * (sqrt(yv.yvv / 8) * 8)) END AS c
+        |  FROM mom m JOIN yvar yv ON yv.user_id = m.user_id
+        |    AND yv.bi = m.bi),
+        |qb AS (
+        |  SELECT user_id, bi,
+        |    round(greatest(
+        |      sum(CASE WHEN side = 0 THEN c ELSE 0 END) / 12,
+        |      sum(CASE WHEN side = 1 THEN c ELSE 0 END) / 12), 6) + 0.0 AS q
+        |  FROM corr GROUP BY user_id, bi)
+        |SELECT b.user_id::VARCHAR AS entity_id, b.bi AS peak_idx,
+        |  qb.q AS quality_bi
+        |FROM beats b LEFT JOIN qb ON qb.user_id = b.user_id AND qb.bi = b.bi
         |ORDER BY entity_id, peak_idx""".stripMargin,
     "q_hrv_freq" ->
       """WITH v AS (
