@@ -50,6 +50,37 @@ object SignalQueries {
       .orderBy(col("entity_id"), col("t"))
   }
 
+  /** Pan–Tompkins QRS pre-filter per user series (filter_pan_tompkins,
+    * qrs.py:41-56): bandpass 5–15 Hz filtfilt → x/8 → square →
+    * MA(0.2·fs). Hash-checked against the recursive-CTE oracle. */
+  def qPtFilter(spark: SparkSession, dir: String): DataFrame = {
+    PerEntity.transform(spark, series(spark, dir),
+      "entity_id", "t", "value") { (ts, vs) =>
+      if (vs.length <= 33) Iterator.empty // filtfilt padlen for 11 taps
+      else Qrs.filterPanTompkins(vs, Fs).iterator.zip(ts.iterator)
+        .map { case (v, t) => (t, v) }
+    }.select(col("entity_id"), col("t"),
+      // +1e-9 before rounding on BOTH sides: MA outputs can land on
+      // exact .xxxx5 decimals where Spark (shortest-repr HALF_UP) and
+      // DuckDB (binary) rounding disagree; the shift moves such values
+      // decisively off the boundary.
+      round(col("out") + 1e-9, 4).as("pt_filtered"))
+      .orderBy(col("entity_id"), col("t"))
+  }
+
+  /** Hamilton–Tompkins QRS pre-filter (filter_hamilton_tompkins,
+    * qrs.py:107-113): bandpass 3–25 Hz filtfilt → |x/8| → MA(0.08·fs). */
+  def qHtFilter(spark: SparkSession, dir: String): DataFrame = {
+    PerEntity.transform(spark, series(spark, dir),
+      "entity_id", "t", "value") { (ts, vs) =>
+      if (vs.length <= 33) Iterator.empty
+      else Qrs.filterHamiltonTompkins(vs, Fs).iterator.zip(ts.iterator)
+        .map { case (v, t) => (t, v) }
+    }.select(col("entity_id"), col("t"),
+      round(col("out") + 1e-9, 4).as("ht_filtered"))
+      .orderBy(col("entity_id"), col("t"))
+  }
+
   /** Hamilton–Tompkins R-peak pipeline per doc series (qrs.py:59-197). */
   def qRpeaks(spark: SparkSession, dir: String): DataFrame = {
     PerEntity.selectIndices(spark, tokenSeries(spark),
@@ -244,6 +275,8 @@ object SignalQueries {
 
   val all: Map[String, CoreQueries.Q] = Map(
     "q_filtfilt" -> (qFiltfilt _),
+    "q_pt_filter" -> (qPtFilter _),
+    "q_ht_filter" -> (qHtFilter _),
     "q_rpeaks" -> (qRpeaks _),
     "q_pulse_onsets" -> (qPulseOnsets _),
     "q_sampen" -> (qSampen _),
@@ -265,35 +298,44 @@ object SignalQueries {
     * adaptive decision rules with data-dependent skips have no
     * reasonable SQL equivalent; SignalSpec carries their numeric
     * verification. */
-  /** filtfilt as one SQL statement: the (b, a) coefficients and the
-    * lfilter_zi state come from the engine's OWN design() — embedded as
-    * shortest-roundtrip double literals, so DuckDB parses back the
-    * identical bits — and both IIR passes are recursive CTEs replaying
-    * the exact direct-form-II-transposed update order of
-    * Butterworth.lfilter. Every arithmetic step is then the same double
-    * chain on both engines; the compare is bit-exact under the shared
-    * 6-dp rounding. MATERIALIZED hints stop DuckDB from re-inlining the
-    * forward recursion into every backward iteration. */
-  private def filtfiltOracle: String = {
-    val c = Butterworth.design(4, Seq(0.2), Butterworth.Lowpass)
+  /** filtfilt as one SQL statement, for ANY designed filter: the (b, a)
+    * coefficients and the lfilter_zi state come from the engine's OWN
+    * design() — embedded as shortest-roundtrip double literals, so
+    * DuckDB parses back the identical bits — and both IIR passes are
+    * recursive CTEs replaying the exact direct-form-II-transposed
+    * update order of Butterworth.lfilter, with one state column per
+    * filter tap. Every arithmetic step is then the same double chain on
+    * both engines; the compare is bit-exact under the shared rounding.
+    * MATERIALIZED hints stop DuckDB from re-inlining the forward
+    * recursion into every backward iteration. Returns the WITH-chain
+    * ending in CTE `ff(user_id, idx0, y)` (idx0 = 0-based position);
+    * callers append their own final SELECT. */
+  private def filtfiltChain(c: Butterworth.Coeffs): String = {
+    val n = c.a.length max c.b.length
+    val b = java.util.Arrays.copyOf(c.b, n)
+    val a = java.util.Arrays.copyOf(c.a, n)
     val zi = Butterworth.lfilterZi(c)
-    val Array(b0, b1, b2, b3, b4) = c.b
-    val Array(_, a1, a2, a3, a4) = c.a
-    val Array(z0, z1, z2, z3) = zi
-    val e = 3 * (c.a.length max c.b.length) // = 15, the padlen guard
-    def step(src: String): String =
-      s"""  SELECT e.user_id, e.m, $b0*e.xv + $z0*e.xv AS y,
-         |    $b1*e.xv + $z1*e.xv - $a1*($b0*e.xv + $z0*e.xv) AS z0,
-         |    $b2*e.xv + $z2*e.xv - $a2*($b0*e.xv + $z0*e.xv) AS z1,
-         |    $b3*e.xv + $z3*e.xv - $a3*($b0*e.xv + $z0*e.xv) AS z2,
-         |    $b4*e.xv - $a4*($b0*e.xv + $z0*e.xv) AS z3
-         |  FROM $src e WHERE e.m = 0
-         |  UNION ALL
-         |  SELECT e.user_id, e.m, $b0*e.xv + f.z0,
-         |    $b1*e.xv + f.z1 - $a1*($b0*e.xv + f.z0),
-         |    $b2*e.xv + f.z2 - $a2*($b0*e.xv + f.z0),
-         |    $b3*e.xv + f.z3 - $a3*($b0*e.xv + f.z0),
-         |    $b4*e.xv - $a4*($b0*e.xv + f.z0)""".stripMargin
+    val m = n - 1
+    val e = 3 * n // scipy padlen
+    def ym(z: Int => String) = s"${b(0)}*e.xv + ${z(0)}"
+    def states(z: Int => String): String =
+      (0 until m).map { k =>
+        val expr =
+          if (k < m - 1)
+            s"${b(k + 1)}*e.xv + ${z(k + 1)} - ${a(k + 1)}*(${ym(z)})"
+          else s"${b(m)}*e.xv - ${a(m)}*(${ym(z)})"
+        s"    $expr AS z$k"
+      }.mkString(",\n")
+    def step(src: String): String = {
+      val zInit = (k: Int) => s"${zi(k)}*e.xv"
+      val zRec = (k: Int) => s"f.z$k"
+      s"""  SELECT e.user_id, e.m, ${ym(zInit)} AS y,
+${states(zInit)}
+  FROM $src e WHERE e.m = 0
+  UNION ALL
+  SELECT e.user_id, e.m, ${ym(zRec)},
+${states(zRec)}"""
+    }
     s"""WITH RECURSIVE v AS MATERIALIZED (
        |  SELECT user_id, value AS x,
        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -321,17 +363,53 @@ object SignalQueries {
        |  FROM fwd f JOIN lens USING (user_id)),
        |bwd AS (
        |${step("rv")}
-       |  FROM bwd f JOIN rv e ON e.user_id = f.user_id AND e.m = f.m + 1)
-       |SELECT b.user_id::VARCHAR AS entity_id,
-       |  lens.L - 1 - b.m - $e + 1 AS t,
-       |  round(b.y, 6) AS filtered
-       |FROM bwd b JOIN lens USING (user_id)
-       |WHERE lens.L - 1 - b.m BETWEEN $e AND lens.L - $e - 1
-       |ORDER BY entity_id, t""".stripMargin
+       |  FROM bwd f JOIN rv e ON e.user_id = f.user_id AND e.m = f.m + 1),
+       |ff AS MATERIALIZED (
+       |  SELECT b.user_id, lens.L - 1 - b.m - $e AS idx0, b.y
+       |  FROM bwd b JOIN lens USING (user_id)
+       |  WHERE lens.L - 1 - b.m BETWEEN $e AND lens.L - $e - 1)""".stripMargin
   }
+
+  private def filtfiltOracle: String =
+    filtfiltChain(Butterworth.design(4, Seq(0.2), Butterworth.Lowpass)) +
+      s"""
+         |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
+         |  round(y, 6) AS filtered
+         |FROM ff ORDER BY entity_id, t""".stripMargin
+
+  /** Pan–Tompkins filter chain (qrs.py:41-56): bandpass 5–15 Hz
+    * filtfilt → x/8 (the shipped differentiator bug) → square →
+    * centered MA(0.2·fs = 25, zero-padded edges). The window-sum order
+    * differs between engines (~1e−16 relative), hence 4 dp (6 dp
+    * straddled the rounding boundary on 3 of 10000 rows). */
+  private def ptFilterOracle: String =
+    filtfiltChain(Butterworth.design(5, Seq(5.0 / 64, 15.0 / 64),
+      Butterworth.Bandpass)) +
+      s"""
+         |, sq AS (SELECT user_id, idx0, (y/8.0)*(y/8.0) AS s FROM ff)
+         |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
+         |  round(sum(s) OVER (PARTITION BY user_id ORDER BY idx0
+         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) / 25.0 + 1e-9, 4)
+         |    AS pt_filtered
+         |FROM sq ORDER BY entity_id, t""".stripMargin
+
+  /** Hamilton–Tompkins filter chain (qrs.py:107-113): bandpass 3–25 Hz
+    * filtfilt → |x/8| → centered MA(0.08·fs = 10; lo = 5, hi = 4). */
+  private def htFilterOracle: String =
+    filtfiltChain(Butterworth.design(5, Seq(3.0 / 64, 25.0 / 64),
+      Butterworth.Bandpass)) +
+      s"""
+         |, av AS (SELECT user_id, idx0, abs(y/8.0) AS s FROM ff)
+         |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
+         |  round(sum(s) OVER (PARTITION BY user_id ORDER BY idx0
+         |    ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) / 10.0 + 1e-9, 4)
+         |    AS ht_filtered
+         |FROM av ORDER BY entity_id, t""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_filtfilt" -> filtfiltOracle,
+    "q_pt_filter" -> ptFilterOracle,
+    "q_ht_filter" -> htFilterOracle,
     "q_sampen" ->
       """WITH v AS (
         |  SELECT user_id, round(value*100) AS b,
