@@ -16,6 +16,18 @@ object SignalQueries {
 
   private val Fs = 128.0
 
+  /** events as a per-user series on the exact b = round(value·100)
+    * lattice at row-number positions — the shared input of every
+    * oracle-exact per-entity kernel (sampen, power_band, quality). */
+  private def bSeries(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("user_id").cast("string").as("entity_id"),
+        col("rn").as("t"), round(col("value") * 100).as("value"))
+  }
+
   /** events as a per-user series at row-number positions (fs-agnostic). */
   private def series(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -110,13 +122,8 @@ object SignalQueries {
     * bit-identical in the DuckDB oracle (sampen is scale-invariant, so
     * the lattice does not change the statistic). */
   def qSampen(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select(col("user_id").cast("string").as("entity_id"),
-        col("rn").as("t"), round(col("value") * 100).as("value"))
-    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+    PerEntity.transform(spark, bSeries(spark, dir),
+      "entity_id", "t", "value") { (_, vs) =>
       val n = vs.length
       var s1 = 0.0
       var s2 = 0.0
@@ -137,13 +144,7 @@ object SignalQueries {
     * DFT agree to ~1e-10 relative, not bitwise. */
   def qPowerBand(spark: SparkSession, dir: String): DataFrame = {
     val fs = Fs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= 64)
-      .select(col("user_id").cast("string").as("entity_id"),
-        col("rn").as("t"), round(col("value") * 100).as("value"))
+    val ev = bSeries(spark, dir).where(col("t") <= 64)
     PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
       if (vs.length < 64) Iterator.empty // users with < 64 events
       else {
@@ -179,13 +180,8 @@ object SignalQueries {
     * of two — exact in binary floating point), so only the final
     * 24-term mean needs the shared 6-dp rounding. */
   def qQuality(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select(col("user_id").cast("string").as("entity_id"),
-        col("rn").as("t"), round(col("value") * 100).as("value"))
-    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+    PerEntity.transform(spark, bSeries(spark, dir),
+      "entity_id", "t", "value") { (_, vs) =>
       if (vs.length < 48) Iterator.empty // need >= 24 peaks
       else {
         val peaks = (1 until vs.length by 2).toArray
@@ -193,9 +189,10 @@ object SignalQueries {
           .map { case (q, i) => (i.toLong, q) }
       }
     }.select(col("entity_id"), col("t").as("peak_idx"),
-      // + 0.0 after round: normalize IEEE −0.0 (Spark's round drops the
-      // sign, DuckDB's keeps it — see q_accel)
-      (round(Tables.nanToNull(col("out")), 6) + 0.0).as("quality"))
+      // +1e-9 before round (order-jitter boundary insurance, as
+      // q_pt_filter); + 0.0 after round normalizes IEEE −0.0 (Spark's
+      // round drops the sign, DuckDB's keeps it — see q_accel)
+      (round(Tables.nanToNull(col("out")) + 1e-9, 6) + 0.0).as("quality"))
       .orderBy(col("entity_id"), col("peak_idx"))
   }
 
@@ -204,13 +201,8 @@ object SignalQueries {
     * beats NULL. Fully hash-checked — the prev/succ ring buffers have
     * closed forms like q_quality's (see the oracle SQL comments). */
   def qQualityBi(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .select(col("user_id").cast("string").as("entity_id"),
-        col("rn").as("t"), round(col("value") * 100).as("value"))
-    PerEntity.transform(spark, ev, "entity_id", "t", "value") { (_, vs) =>
+    PerEntity.transform(spark, bSeries(spark, dir),
+      "entity_id", "t", "value") { (_, vs) =>
       if (vs.length < 48) Iterator.empty
       else {
         val peaks = (1 until vs.length by 2).toArray
@@ -218,7 +210,7 @@ object SignalQueries {
           .map { case (q, i) => (i.toLong, q) }
       }
     }.select(col("entity_id"), col("t").as("peak_idx"),
-      (round(Tables.nanToNull(col("out")), 6) + 0.0).as("quality_bi"))
+      (round(Tables.nanToNull(col("out")) + 1e-9, 6) + 0.0).as("quality_bi"))
       .orderBy(col("entity_id"), col("peak_idx"))
   }
 
@@ -554,7 +546,7 @@ ${states(zRec)}"""
         |  FROM mom m JOIN yvar yv ON yv.user_id = m.user_id
         |    AND yv.bi = m.bi)
         |SELECT user_id::VARCHAR AS entity_id, bi AS peak_idx,
-        |  round(sum(c) / count(*), 6) + 0.0 AS quality
+        |  round(sum(c) / count(*) + 1e-9, 6) + 0.0 AS quality
         |FROM corr GROUP BY user_id, bi
         |ORDER BY entity_id, peak_idx""".stripMargin,
     // Bidirectional variant: beats run over [11, B) with B the first
@@ -655,7 +647,8 @@ ${states(zRec)}"""
         |  SELECT user_id, bi,
         |    round(greatest(
         |      sum(CASE WHEN side = 0 THEN c ELSE 0 END) / 12,
-        |      sum(CASE WHEN side = 1 THEN c ELSE 0 END) / 12), 6) + 0.0 AS q
+        |      sum(CASE WHEN side = 1 THEN c ELSE 0 END) / 12) + 1e-9, 6)
+        |      + 0.0 AS q
         |  FROM corr GROUP BY user_id, bi)
         |SELECT b.user_id::VARCHAR AS entity_id, b.bi AS peak_idx,
         |  qb.q AS quality_bi

@@ -94,9 +94,12 @@ object StreamOps {
     * like the batch operator's `t >= ref_ts`. Zero look-ahead by
     * construction: state only ever contains past rows at emit time.
     *
-    * Cross-batch ordering is event-time-correct only for rows arriving
-    * no later than the configured watermark allows — the same contract
-    * as any streaming join; the batch operator is parity-authoritative. */
+    * Late cross-batch data is handled conservatively so the zero-
+    * look-ahead invariant HOLDS even without a watermark: an event
+    * older than the carried reference emits a NULL reference (the O(1)
+    * state no longer knows the correct older ref — never a future
+    * one), and a reference older than the state never regresses it.
+    * The batch operator remains parity-authoritative. */
   def streamingAsOf(left: Dataset[SeqPoint], right: Dataset[SeqPoint])
                    (implicit spark: SparkSession): Dataset[EnrichedPoint] = {
     import spark.implicits._
@@ -114,10 +117,19 @@ object StreamOps {
           var st = state.getOption.getOrElse(AsOfState(0L, 0.0, hasRef = false))
           val out = Seq.newBuilder[EnrichedPoint]
           sorted.foreach { p =>
-            if (p.is_ref) st = AsOfState(p.ts, p.value, hasRef = true)
-            else out += EnrichedPoint(entity, p.ts, p.value,
-              if (st.hasRef) Some(st.refTs) else None,
-              if (st.hasRef) Some(st.refValue) else None)
+            if (p.is_ref) {
+              // late refs never regress the state to an older one
+              if (!st.hasRef || p.ts >= st.refTs)
+                st = AsOfState(p.ts, p.value, hasRef = true)
+            } else {
+              // a late event older than the state gets NO reference:
+              // the correct (older) ref is gone, and a future one
+              // would violate the backward invariant
+              val usable = st.hasRef && st.refTs <= p.ts
+              out += EnrichedPoint(entity, p.ts, p.value,
+                if (usable) Some(st.refTs) else None,
+                if (usable) Some(st.refValue) else None)
+            }
           }
           state.update(st)
           out.result().iterator

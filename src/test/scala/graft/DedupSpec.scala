@@ -29,19 +29,15 @@ class DedupSpec extends SparkSpec {
 
   test("simhash banding is lossless: banded pairs == brute-force pairs " +
     "at Hamming <= 2 (pigeonhole over 6/5/5-bit bands)") {
-    import org.apache.spark.sql.functions._
-    val got = DedupQueries.qSimhash(spark, sf).collect()
-      .map(r => (r.getLong(r.fieldIndex("a_id")),
-        r.getLong(r.fieldIndex("b_id")))).toSet
-    // brute force from the emitted fingerprints themselves: rebuild all
-    // pairs from the per-doc simhash values observed in the output union
-    // a fresh all-pairs scan over the fingerprint table
-    val fps = DedupQueries.qSimhash(spark, sf)
-      .select(col("a_id").as("id"), col("ha").as("h"))
-      .union(DedupQueries.qSimhash(spark, sf)
-        .select(col("b_id"), col("hb")))
-      .distinct().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one query run: pairs AND the per-doc fingerprint map both come
+    // from the same collected rows (a_id/ha, b_id/hb columns)
+    val rows = DedupQueries.qSimhash(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(r.fieldIndex("a_id")),
+      r.getLong(r.fieldIndex("b_id")))).toSet
+    val fps = rows.flatMap(r => Seq(
+      r.getLong(r.fieldIndex("a_id")) -> r.getLong(r.fieldIndex("ha")),
+      r.getLong(r.fieldIndex("b_id")) -> r.getLong(r.fieldIndex("hb"))))
+      .toMap
     // any pair present in got must satisfy the distance bound…
     got.foreach { case (a, b) =>
       val d = java.lang.Long.bitCount(fps(a) ^ fps(b))

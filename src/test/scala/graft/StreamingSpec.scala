@@ -148,6 +148,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == oracle, s"\ngot    $got\noracle $oracle")
   }
 
+  test("streamingAsOf late data: an event older than the carried ref " +
+    "gets NULL (never a future ref); a late ref never regresses state") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val lIn = MemoryStream[SeqPoint]
+    val rIn = MemoryStream[SeqPoint]
+    val stream = StreamOps.streamingAsOf(lIn.toDS(), rIn.toDS())
+    val q = stream.writeStream.format("memory").queryName("asof_late_tbl")
+      .outputMode("append").start()
+    // batch 1: ref at ts=45
+    rIn.addData(SeqPoint("e", 45L, 450.0, "web"))
+    q.processAllAvailable()
+    // batch 2: a LATE event (ts=5 < 45) and a LATE ref (ts=20 < 45),
+    // then an on-time event at ts=60
+    lIn.addData(SeqPoint("e", 5L, 1.0, "web"), SeqPoint("e", 60L, 2.0, "web"))
+    rIn.addData(SeqPoint("e", 20L, 200.0, "web"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_late_tbl").collect().map { r =>
+      r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toMap
+    assert(got(5L).isEmpty, s"late event must not see a future ref: $got")
+    assert(got(60L).contains(45L),
+      s"late ref must not regress the state: $got")
+  }
+
   test("dedupStream emits the first document per content hash across " +
     "micro-batches") {
     implicit val sqlCtx = spark.sqlContext
