@@ -133,7 +133,7 @@ object DedupQueries {
     a.join(b, Seq("bi", "bv"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("ha"), col("hb"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .where(col("hamming") <= 2)
       .distinct() // a pair can collide in several bands
       .orderBy(col("a_id"), col("b_id"))
@@ -248,7 +248,7 @@ object DedupQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id"))
       .orderBy(col("cos_sim").desc, col("b_id"))
-    cand.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .orderBy(col("a_id"), col("rank"))
   }
@@ -323,8 +323,8 @@ object DedupQueries {
         |  FROM words WHERE len(w) > 0 GROUP BY doc_id),
         |sims AS (SELECT doc_id, $fp AS simhash FROM agg)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  a.simhash AS ha, b.simhash AS hb,
-        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  a.simhash::BIGINT AS ha, b.simhash::BIGINT AS hb,
+        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY a_id, b_id""".stripMargin
@@ -402,7 +402,8 @@ object DedupQueries {
         |    sqrt(list_sum(list_transform(embedding,
         |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
         |  FROM embeddings)
-        |SELECT bucket, count(*) AS n, round(avg(nrm), 6) AS mean_norm
+        |SELECT bucket::BIGINT AS bucket, count(*) AS n,
+        |  round(avg(nrm), 6) AS mean_norm
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     }
   )

@@ -42,7 +42,7 @@ object EmbedQueries {
       .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos_sim").desc, col("b_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .orderBy(col("a_id"), col("rank"))
   }

@@ -215,15 +215,17 @@ object SignalQueries {
   }
 
   /** Multimodal plumbing: binary media column → fake decode → frame
-    * sample → per-frame features (rows-only; MultimodalSpec carries the
-    * numeric verification). */
+    * sample → per-frame features. Hash-checked since round 3 against a
+    * full splitmix64 + FNV-1a replay in DuckDB HUGEINT ([[mediaOracle]]);
+    * +1e-9 before rounding is the shared boundary insurance (mean_px can
+    * land on exact .xxxxx5 decimals when w·h is a power of two). */
   def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     graft.functions.Multimodal.frameFeatures(
       graft.functions.Multimodal.mediaTable(spark, 200), frameStride = 2)
       .toDF()
       .select(col("doc_id"), col("frame"), col("width"), col("height"),
-        round(col("mean_px"), 6).as("mean_px"), col("max_px"),
+        round(col("mean_px") + 1e-9, 6).as("mean_px"), col("max_px"),
         col("frame_hash"))
       .orderBy(col("doc_id"), col("frame"))
   }
@@ -284,86 +286,18 @@ object SignalQueries {
     * q_power_band / q_hrv_freq are DIRECT (NU)DFT evaluations — an
     * independent O(N·K) computation of the spectrum the fast kernels
     * approximate, compared at 4 dp; q_filtfilt replays both IIR passes
-    * as recursive CTEs (see [[filtfiltOracle]]); q_quality/_bi
-    * reconstruct the reference's ring buffers in closed form. Only
-    * q_rpeaks / q_pulse_onsets / q_media_features remain rows-only:
-    * adaptive decision rules with data-dependent skips have no
-    * reasonable SQL equivalent; SignalSpec carries their numeric
-    * verification. */
-  /** filtfilt as one SQL statement, for ANY designed filter: the (b, a)
-    * coefficients and the lfilter_zi state come from the engine's OWN
-    * design() — embedded as shortest-roundtrip double literals, so
-    * DuckDB parses back the identical bits — and both IIR passes are
-    * recursive CTEs replaying the exact direct-form-II-transposed
-    * update order of Butterworth.lfilter, with one state column per
-    * filter tap. Every arithmetic step is then the same double chain on
-    * both engines; the compare is bit-exact under the shared rounding.
-    * MATERIALIZED hints stop DuckDB from re-inlining the forward
-    * recursion into every backward iteration. Returns the WITH-chain
-    * ending in CTE `ff(user_id, idx0, y)` (idx0 = 0-based position);
-    * callers append their own final SELECT. */
-  private def filtfiltChain(c: Butterworth.Coeffs): String = {
-    val n = c.a.length max c.b.length
-    val b = java.util.Arrays.copyOf(c.b, n)
-    val a = java.util.Arrays.copyOf(c.a, n)
-    val zi = Butterworth.lfilterZi(c)
-    val m = n - 1
-    val e = 3 * n // scipy padlen
-    def ym(z: Int => String) = s"${b(0)}*e.xv + ${z(0)}"
-    def states(z: Int => String): String =
-      (0 until m).map { k =>
-        val expr =
-          if (k < m - 1)
-            s"${b(k + 1)}*e.xv + ${z(k + 1)} - ${a(k + 1)}*(${ym(z)})"
-          else s"${b(m)}*e.xv - ${a(m)}*(${ym(z)})"
-        s"    $expr AS z$k"
-      }.mkString(",\n")
-    def step(src: String): String = {
-      val zInit = (k: Int) => s"${zi(k)}*e.xv"
-      val zRec = (k: Int) => s"f.z$k"
-      s"""  SELECT e.user_id, e.m, ${ym(zInit)} AS y,
-${states(zInit)}
-  FROM $src e WHERE e.m = 0
-  UNION ALL
-  SELECT e.user_id, e.m, ${ym(zRec)},
-${states(zRec)}"""
-    }
-    s"""WITH RECURSIVE v AS MATERIALIZED (
-       |  SELECT user_id, value AS x,
-       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-       |      - 1 AS i,
-       |    count(*) OVER (PARTITION BY user_id) AS n
-       |  FROM events
-       |  QUALIFY n > $e),
-       |x0 AS (SELECT user_id, x AS xf FROM v WHERE i = 0),
-       |xl AS (SELECT v.user_id, v.x AS xl, v.n FROM v WHERE v.i = v.n - 1),
-       |ext AS MATERIALIZED (
-       |  SELECT v.user_id, $e - v.i AS m, 2*x0.xf - v.x AS xv
-       |  FROM v JOIN x0 USING (user_id) WHERE v.i BETWEEN 1 AND $e
-       |  UNION ALL
-       |  SELECT user_id, i + $e, x FROM v
-       |  UNION ALL
-       |  SELECT v.user_id, $e - 2 + 2*v.n - v.i, 2*xl.xl - v.x
-       |  FROM v JOIN xl USING (user_id)
-       |  WHERE v.i BETWEEN v.n - 1 - $e AND v.n - 2),
-       |fwd AS (
-       |${step("ext")}
-       |  FROM fwd f JOIN ext e ON e.user_id = f.user_id AND e.m = f.m + 1),
-       |lens AS MATERIALIZED (SELECT user_id, n + 2*$e AS L FROM xl),
-       |rv AS MATERIALIZED (
-       |  SELECT f.user_id, lens.L - 1 - f.m AS m, f.y AS xv
-       |  FROM fwd f JOIN lens USING (user_id)),
-       |bwd AS (
-       |${step("rv")}
-       |  FROM bwd f JOIN rv e ON e.user_id = f.user_id AND e.m = f.m + 1),
-       |ff AS MATERIALIZED (
-       |  SELECT b.user_id, lens.L - 1 - b.m - $e AS idx0, b.y
-       |  FROM bwd b JOIN lens USING (user_id)
-       |  WHERE lens.L - 1 - b.m BETWEEN $e AND lens.L - $e - 1)""".stripMargin
-  }
-
+    * as recursive CTEs ([[SqlGen.filtfiltChain]]); q_quality/_bi
+    * reconstruct the reference's ring buffers in closed form. Round 3
+    * closed the last three rows-only queries: q_rpeaks and
+    * q_pulse_onsets replay their adaptive decision automata as recursive
+    * CTEs with LIST-typed ring-buffer state columns (bit-exact — every
+    * uncontrolled-order float sum was replaced by an ordered list_reduce
+    * on both... the engine side already summed in slot/index order), and
+    * q_media_features replays splitmix64 in HUGEINT ([[SqlGen.mixCols]]).
+    */
   private def filtfiltOracle: String =
-    filtfiltChain(Butterworth.design(4, Seq(0.2), Butterworth.Lowpass)) +
+    SqlGen.filtfiltChain(Butterworth.design(4, Seq(0.2), Butterworth.Lowpass),
+      SqlGen.eventsSig) +
       s"""
          |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
          |  round(y, 6) AS filtered
@@ -375,8 +309,8 @@ ${states(zRec)}"""
     * differs between engines (~1e−16 relative), hence 4 dp (6 dp
     * straddled the rounding boundary on 3 of 10000 rows). */
   private def ptFilterOracle: String =
-    filtfiltChain(Butterworth.design(5, Seq(5.0 / 64, 15.0 / 64),
-      Butterworth.Bandpass)) +
+    SqlGen.filtfiltChain(Butterworth.design(5, Seq(5.0 / 64, 15.0 / 64),
+      Butterworth.Bandpass), SqlGen.eventsSig) +
       s"""
          |, sq AS (SELECT user_id, idx0, (y/8.0)*(y/8.0) AS s FROM ff)
          |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
@@ -388,8 +322,8 @@ ${states(zRec)}"""
   /** Hamilton–Tompkins filter chain (qrs.py:107-113): bandpass 3–25 Hz
     * filtfilt → |x/8| → centered MA(0.08·fs = 10; lo = 5, hi = 4). */
   private def htFilterOracle: String =
-    filtfiltChain(Butterworth.design(5, Seq(3.0 / 64, 25.0 / 64),
-      Butterworth.Bandpass)) +
+    SqlGen.filtfiltChain(Butterworth.design(5, Seq(3.0 / 64, 25.0 / 64),
+      Butterworth.Bandpass), SqlGen.eventsSig) +
       s"""
          |, av AS (SELECT user_id, idx0, abs(y/8.0) AS s FROM ff)
          |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
@@ -398,10 +332,240 @@ ${states(zRec)}"""
          |    AS ht_filtered
          |FROM av ORDER BY entity_id, t""".stripMargin
 
+  /** q_rpeaks oracle: the full Hamilton–Tompkins pipeline replayed in
+    * SQL, BIT-EXACT end to end (qrs.py:59-197 semantics via the Scala
+    * kernels). Stages:
+    *   1. the TokenGen series re-derived in SQL (SqlGen.tokenSig);
+    *   2. bandpass 3–25 Hz filtfilt as recursive CTEs (bit-exact);
+    *   3. |y/8| then MA(10) via an ordered per-row list_reduce — the
+    *      window SUM would be segment-tree-ordered (only ~1e-16-equal);
+    *      folding the frame list left-to-right replays the Scala loop
+    *      exactly, so fecg is bit-identical and every threshold compare
+    *      downstream is safe;
+    *   4. per-candidate gates precomputed with window frames:
+    *      local-max-in-±200ms ([p-25, p+24] max), both-gradients /
+    *      maxDiff over the diff series d on frame [p-5, p+5];
+    *   5. the decision automaton as a recursive CTE over candidate
+    *      peaks: LIST state columns for the two 12-slot ring buffers
+    *      (QRS indices + QRS/noise fecg values), threshold dth,
+    *      prev-peak, counts. Slot writes are indexed list_transform;
+    *      buffer means fold in slot order (= the Scala bufMean loop);
+    *      avg RR telescopes to (max−min)/11 exactly (integer indices).
+    */
+  private def rpeaksOracle: String =
+    SqlGen.filtfiltChain(Butterworth.design(5, Seq(3.0 / 64, 25.0 / 64),
+      Butterworth.Bandpass), SqlGen.tokenSig(64, 120)) + s"""
+      |, dif AS (SELECT user_id, idx0 AS g, abs(y/8.0) AS s FROM ff),
+      |lw AS (
+      |  SELECT user_id, g,
+      |    list(s) OVER (PARTITION BY user_id ORDER BY g
+      |      ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) AS w
+      |  FROM dif),
+      |fe AS MATERIALIZED (
+      |  SELECT user_id, g AS i, ${SqlGen.lsum("w")} / 10.0 AS f
+      |  FROM lw),
+      |f2 AS (
+      |  SELECT user_id, i, f,
+      |    lag(f) OVER pw AS fl, lead(f) OVER pw AS fr,
+      |    f - lag(f) OVER pw AS d
+      |  FROM fe WINDOW pw AS (PARTITION BY user_id ORDER BY i)),
+      |f3 AS (
+      |  SELECT user_id, i, f, fl, fr,
+      |    max(f) OVER (pv ROWS BETWEEN 25 PRECEDING AND 24 FOLLOWING) AS mx,
+      |    max(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+      |      OVER (pv ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS anyup,
+      |    max(CASE WHEN d < 0 THEN 1 ELSE 0 END)
+      |      OVER (pv ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS anydn,
+      |    max(d) OVER (pv ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS md
+      |  -- window renamed pv: under WITH RECURSIVE, DuckDB scopes named
+      |  -- windows per STATEMENT, not per SELECT ("pw already defined")
+      |  FROM f2 WINDOW pv AS (PARTITION BY user_id ORDER BY i)),
+      |cand AS MATERIALIZED (
+      |  SELECT user_id, i AS p, f AS fp, (f >= mx) AS locmax,
+      |    (anyup = 1 AND anydn = 1) AS bg, md,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY i) AS k
+      |  FROM f3 WHERE f > fl AND f > fr),
+      |f0 AS (SELECT user_id, f AS v0 FROM fe WHERE i = 0),
+      |dec AS (
+      |  SELECT user_id, 0::BIGINT AS k, FALSE AS acc, 0::BIGINT AS p,
+      |    [0,0,0,0,0,0,0,0,0,0,0,0]::BIGINT[] AS bqi,
+      |    [v0,v0,v0,v0,v0,v0,v0,v0,v0,v0,v0,v0]::DOUBLE[] AS bqv,
+      |    [v0,v0,v0,v0,v0,v0,v0,v0,v0,v0,v0,v0]::DOUBLE[] AS bnv,
+      |    0::BIGINT AS iq, 0::BIGINT AS inn, 0.0::DOUBLE AS dth,
+      |    0::BIGINT AS prevp, 0.0::DOUBLE AS mdp, 0::BIGINT AS nq
+      |  FROM f0
+      |  UNION ALL
+      |  SELECT c.user_id, c.k,
+      |    (c.locmax AND ((c.fp > r.dth AND c.bg
+      |        AND NOT (r.prevp != 0 AND (c.p - r.prevp) < 46.08
+      |                 AND c.md < 0.5 * r.mdp))
+      |      OR (r.nq > 1 AND c.fp > 0.5 * r.dth
+      |          AND (c.p - r.prevp) >=
+      |            1.5 * ((list_max(r.bqi) - list_min(r.bqi)) / 11.0))))
+      |      AS acc2,
+      |    c.p,
+      |    CASE WHEN acc2 THEN list_transform(r.bqi,
+      |        (x, s) -> CASE WHEN s = (r.iq % 12) + 1 THEN c.p ELSE x END)
+      |      ELSE r.bqi END AS bqi2,
+      |    CASE WHEN acc2 THEN list_transform(r.bqv,
+      |        (x, s) -> CASE WHEN s = (r.iq % 12) + 1 THEN c.fp ELSE x END)
+      |      ELSE r.bqv END AS bqv2,
+      |    CASE WHEN acc2 THEN r.bnv ELSE list_transform(r.bnv,
+      |        (x, s) -> CASE WHEN s = (r.inn % 12) + 1 THEN c.fp ELSE x END)
+      |      END AS bnv2,
+      |    r.iq + CASE WHEN acc2 THEN 1 ELSE 0 END,
+      |    r.inn + CASE WHEN acc2 THEN 0 ELSE 1 END,
+      |    ${SqlGen.lsum("bnv2")} / 12.0
+      |      + 0.3125 * (${SqlGen.lsum("bqv2")} / 12.0
+      |                  - ${SqlGen.lsum("bnv2")} / 12.0),
+      |    CASE WHEN acc2 THEN c.p ELSE r.prevp END,
+      |    CASE WHEN acc2 THEN c.md ELSE r.mdp END,
+      |    r.nq + CASE WHEN acc2 THEN 1 ELSE 0 END
+      |  FROM dec r JOIN cand c ON c.user_id = r.user_id AND c.k = r.k + 1)
+      |SELECT d.user_id AS entity_id, d.p AS peak_pos, round(s.x, 6) AS value
+      |FROM dec d JOIN sig s ON s.user_id = d.user_id AND s.i = d.p
+      |WHERE d.acc
+      |ORDER BY entity_id, peak_pos""".stripMargin
+
+  /** q_pulse_onsets oracle: physionet PPG decision rule replayed in SQL,
+    * bit-exact (ppg.py:11-93 semantics). Bandpass 0.5–20 Hz filtfilt
+    * (recursive CTEs) → slope_sum telescoped to y[i]−y[i−19] → warm-up
+    * threshold from the first 10 s via ORDERED list folds (mirrors the
+    * Scala two-pass mean/std loops) → the scan itself as a recursive
+    * CTE whose state is (scan index with data-dependent skips, adaptive
+    * threshold, the 10-slot amplitude ring buffer as a LIST column).
+    * The ±150 ms argmax is precomputed per index with a struct-packed
+    * window max ((x, −i) — first max wins, like the Scala strict-> scan).
+    */
+  private def pulseOracle: String =
+    SqlGen.filtfiltChain(Butterworth.design(5, Seq(0.5 / 64, 20.0 / 64),
+      Butterworth.Bandpass), SqlGen.tokenSig(64, 1280)) + s"""
+      |, ffn AS (
+      |  SELECT f.user_id, f.idx0 AS i, f.y, s.n
+      |  FROM ff f JOIN (SELECT user_id, max(n) AS n FROM sig GROUP BY 1) s
+      |    USING (user_id)),
+      |ss AS MATERIALIZED (
+      |  SELECT a.user_id, a.i,
+      |    CASE WHEN a.i >= 19 AND a.i < a.n - 1 THEN a.y - b.y
+      |      ELSE 0.0 END AS x,
+      |    a.n
+      |  FROM ffn a LEFT JOIN ff b
+      |    ON b.user_id = a.user_id AND b.idx0 = a.i - 19),
+      |wl AS (
+      |  SELECT user_id, list(x ORDER BY i) AS lx
+      |  FROM ss WHERE i < 1280 GROUP BY user_id),
+      |wst AS (
+      |  SELECT user_id,
+      |    ${SqlGen.lsum("lx")} / 1280.0 AS m0,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, lx),
+      |      (a, b) -> a + (b - m0) * (b - m0)) / 1280.0) AS sd0,
+      |    2 * sd0 + m0 AS th0,
+      |    th0 - sd0 AS tsub0
+      |  FROM wl),
+      |mxs AS (
+      |  SELECT user_id, i, x, n,
+      |    max(struct_pack(v := x, ni := -i)) OVER (PARTITION BY user_id
+      |      ORDER BY i ROWS BETWEEN 19 PRECEDING AND 18 FOLLOWING) AS s
+      |  FROM ss),
+      |arg AS MATERIALIZED (
+      |  SELECT user_id, i, x, n, s.v AS mxv, -s.ni AS mxi FROM mxs),
+      |rec AS (
+      |  SELECT user_id, 18::BIGINT AS i, FALSE AS fired, 0::BIGINT AS j,
+      |    [th0,th0,th0,th0,th0,th0,th0,th0,th0,th0]::DOUBLE[] AS amps,
+      |    th0 AS th, 0.0::DOUBLE AS am2, tsub0 AS tsub, 0::BIGINT AS aidx,
+      |    19::BIGINT AS nxt
+      |  FROM wst
+      |  UNION ALL
+      |  -- every lateral alias here MUST differ from the state columns
+      |  -- (fired, am2, ...): an alias that shares a name resolves to the
+      |  -- rec-table column — i.e. the PREVIOUS step's value
+      |  SELECT a.user_id, a.i,
+      |    (a.x > r.tsub) AS fire2,
+      |    CASE WHEN fire2 THEN a.mxi ELSE r.j END AS j,
+      |    CASE WHEN fire2 THEN list_transform(r.amps,
+      |        (x, s) -> CASE WHEN s = ((r.aidx + 1) % 10) + 1 THEN a.mxv
+      |                  ELSE x END)
+      |      ELSE r.amps END AS amps2,
+      |    CASE WHEN fire2
+      |      THEN (list_sort(amps2)[5] + list_sort(amps2)[6]) / 2.0
+      |      ELSE r.th END AS th2,
+      |    CASE WHEN fire2 THEN ${SqlGen.lsum("amps2")} / 10.0
+      |      ELSE 0.0 END AS amm,
+      |    CASE WHEN fire2 THEN th2 - 2 * sqrt(
+      |        list_reduce(list_prepend(0.0::DOUBLE, amps2),
+      |          (a2, b2) -> a2 + (b2 - amm) * (b2 - amm)) / 10.0)
+      |      ELSE r.tsub END AS tsub2,
+      |    CASE WHEN fire2 THEN (r.aidx + 1) % 10 ELSE r.aidx END,
+      |    CASE WHEN fire2 THEN a.i + 57 ELSE a.i + 1 END
+      |  FROM rec r JOIN arg a ON a.user_id = r.user_id AND a.i = r.nxt
+      |  WHERE r.nxt < a.n - 1280)
+      |SELECT r.user_id AS entity_id, r.j AS onset_pos, round(s.x, 6) AS value
+      |FROM rec r JOIN sig s ON s.user_id = r.user_id AND s.i = r.j
+      |WHERE r.fired
+      |ORDER BY entity_id, onset_pos""".stripMargin
+
+  /** q_media_features oracle: the fake-codec media table AND the frame
+    * kernel replayed in SQL — splitmix64 in HUGEINT with explicit
+    * mod-2^64 wrapping multiplies (SqlGen.mixCols), per-frame FNV-1a as
+    * an ordered list fold over the pixel stream, mean/max as plain
+    * aggregates (integer sums — order-free). Mirrors
+    * [[graft.functions.Multimodal.makeBlob]]/frameFeatures for
+    * nDocs = 200, frameStride = 2. */
+  private def mediaOracle: String = {
+    val m64 = "18446744073709551616"
+    s"""WITH di AS (SELECT unnest(generate_series(0, 199))::HUGEINT AS i),
+       |dm AS (SELECT i, ${SqlGen.mixCols("i", "m")} FROM di),
+       |d5 AS (SELECT i, ${SqlGen.mixCols("xor(5::HUGEINT, mr)", "w")} FROM dm),
+       |d6 AS (SELECT i, ${SqlGen.mixCols("xor(6::HUGEINT, mr)", "h")} FROM dm),
+       |d7 AS (SELECT i, ${SqlGen.mixCols("xor(7::HUGEINT, mr)", "f")} FROM dm),
+       |da AS (SELECT i, ${SqlGen.mixCols("xor(11::HUGEINT, mr)", "a")} FROM dm),
+       |dims AS (
+       |  SELECT d5.i,
+       |    8 + ((d5.wr // ${1L << 33}) % 25) AS w,
+       |    8 + ((d6.hr // ${1L << 33}) % 25) AS h,
+       |    1 + ((d7.fr // ${1L << 33}) % 6) AS frames,
+       |    da.ar AS ai
+       |  FROM d5 JOIN d6 ON d5.i = d6.i JOIN d7 ON d7.i = d5.i
+       |    JOIN da ON da.i = d5.i),
+       |fr AS (
+       |  SELECT i, w, h, ai, fi.f
+       |  FROM dims, (SELECT unnest(generate_series(0, 5)) AS f) fi
+       |  WHERE fi.f < frames AND fi.f % 2 = 0),
+       |px AS (
+       |  SELECT fr.i, fr.w, fr.h, fr.f, fr.ai, p.px,
+       |    (fr.f * 100000 + p.px)::HUGEINT AS pkey
+       |  FROM fr, (SELECT unnest(generate_series(0, 1023)) AS px) p
+       |  WHERE p.px < fr.w * fr.h),
+       |pm AS (SELECT DISTINCT pkey FROM px),
+       |pmx AS (SELECT pkey, ${SqlGen.mixCols("pkey", "p")} FROM pm),
+       |pv AS (
+       |  SELECT px.i, px.w, px.h, px.f, px.px,
+       |    ${SqlGen.mixCols("xor(px.ai, pmx.pr)", "t")}
+       |  FROM px JOIN pmx ON pmx.pkey = px.pkey),
+       |pix AS (SELECT i, w, h, f, px, tr // ${1L << 56} AS v FROM pv),
+       |feat AS (
+       |  SELECT i, w, h, f,
+       |    sum(v) AS s, max(v) AS mx,
+       |    list_reduce(
+       |      list_prepend(1469598103934665603::HUGEINT, list(v ORDER BY px)),
+       |      (acc, x) -> (xor(acc, x::HUGEINT) * 1099511628211) % $m64) AS hh
+       |  FROM pix GROUP BY 1, 2, 3, 4)
+       |SELECT 'doc_' || lpad(i::VARCHAR, 8, '0') AS doc_id,
+       |  f::INT AS frame, w::INT AS width, h::INT AS height,
+       |  round(s::DOUBLE / (w * h) + 1e-9, 6) AS mean_px,
+       |  mx::INT AS max_px,
+       |  (CASE WHEN hh >= ${BigInt(1) << 63} THEN hh - $m64 ELSE hh
+       |    END)::BIGINT AS frame_hash
+       |FROM feat ORDER BY doc_id, frame""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_filtfilt" -> filtfiltOracle,
     "q_pt_filter" -> ptFilterOracle,
     "q_ht_filter" -> htFilterOracle,
+    "q_rpeaks" -> rpeaksOracle,
+    "q_pulse_onsets" -> pulseOracle,
+    "q_media_features" -> mediaOracle,
     "q_sampen" ->
       """WITH v AS (
         |  SELECT user_id, round(value*100) AS b,

@@ -26,11 +26,11 @@ object TextQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("tokens"))
       .select(col("doc_id"),
-        size(col("tokens")).as("n_tok"),
+        size(col("tokens")).cast("long").as("n_tok"),
         aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("tok_sum"),
-        array_max(col("tokens")).as("tok_max"),
-        element_at(col("tokens"), 1).as("tok_first"),
-        element_at(col("tokens"), -1).as("tok_last"))
+        array_max(col("tokens")).cast("long").as("tok_max"),
+        element_at(col("tokens"), 1).cast("long").as("tok_first"),
+        element_at(col("tokens"), -1).cast("long").as("tok_last"))
       .orderBy(col("doc_id"))
   }
 
@@ -40,7 +40,8 @@ object TextQueries {
   def qTokensWindow(spark: SparkSession, dir: String): DataFrame = {
     val exploded = Tables.documents(spark, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok").cast("long").as("tok"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val f = w.rowsBetween(-7, 0)
     val s1 = sum(col("tok")).over(f)
@@ -116,7 +117,7 @@ object TextQueries {
     val nStop = size(filter(words, w => w.isInCollection(stops)))
     Tables.documents(spark, dir).select(
       col("doc_id"), col("lang"),
-      nWords.as("n_words"),
+      nWords.cast("long").as("n_words"),
       col("n_chars"),
       (sumLen / nWords).as("avg_word_len"),
       (nStop / nWords.cast("double")).as("stop_ratio"),
@@ -203,7 +204,7 @@ object TextQueries {
     val payload = col("text").cast("binary")
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      octet_length(col("text")).as("byte_len"),
+      octet_length(col("text")).cast("long").as("byte_len"),
       substring(md5(payload), 1, 8).as("sig"),
       // STUB decode: deterministic fake image metadata derived from size.
       (lit(32) + col("n_chars") % 224).as("fake_width"),
