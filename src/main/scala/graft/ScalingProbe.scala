@@ -52,6 +52,9 @@ object ScalingProbe {
     println("[probe] warm-up done")
 
     time("read+explode")(points)
+    // no tieCols needed: token points have ts = position, unique per
+    // entity by construction (ties are impossible); events-based callers
+    // pass event_id (see PipelineQueries)
     time("sessionize")(Sessionize.withSessionId(
       points.repartitionByRange(col("entity_id"), col("ts"))
         .sortWithinPartitions(col("entity_id"), col("ts")),

@@ -30,19 +30,26 @@ object Layout {
     *                 `Seq(count(lit(1)).as("n"), sum($"v").as("s"))`
     * @param merge    how to merge each partial column in phase 2, BY
     *                 NAME, e.g. `Map("n" -> sum _, "s" -> sum _)`
+    * @param saltCols columns whose content derives the salt — pass a
+    *                 stable unique key (e.g. event_id) when the data can
+    *                 contain fully-duplicate rows: a whole-row hash maps
+    *                 duplicates of a hot key onto ONE salt, defeating the
+    *                 spread this helper exists for. Defaults to all
+    *                 columns (fine for distinct-ish rows).
     */
   def saltedAgg(df: DataFrame, keyCol: String, nSalts: Int,
                 partials: Seq[Column],
-                merge: Map[String, Column => Column]): DataFrame = {
+                merge: Map[String, Column => Column],
+                saltCols: Seq[String] = Nil): DataFrame = {
     require(nSalts > 1)
     // Salt derives from stable row CONTENT, never from
     // monotonically_increasing_id(): an indeterminate salt re-assigns
     // rows to different (key, salt) groups when a stage is retried
     // after shuffle-fetch failure — the classic double-count/loss
-    // hazard. (Identical rows share a salt; for distinct-ish data the
-    // spread is unchanged.)
+    // hazard.
+    val basis = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toSeq: _*), lit(nSalts)))
+      pmod(hash(basis.map(col): _*), lit(nSalts)))
     val phase1 = salted.groupBy(col(keyCol), col("__salt"))
       .agg(partials.head, partials.tail: _*)
     val mergeCols = phase1.columns

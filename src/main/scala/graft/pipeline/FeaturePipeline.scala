@@ -36,10 +36,17 @@ object FeaturePipeline {
     *                      the union+window composition — identical
     *                      semantics (AsOfNativeSpec), sorts each side
     *                      separately instead of the interleaved union
+    * @param tieCols       columns breaking (entity, ts) ordering ties in
+    *                      the sessionize stage — pass the source's unique
+    *                      id (e.g. event_id) whenever timestamps can
+    *                      repeat per entity, or session assignment is
+    *                      retry-nondeterministic (same hazard the
+    *                      q_sessionize/q_backfill queries close)
     */
   final case class Config(wsize: Long, wstep: Long, minWindowLen: Long,
                           sessionGap: Long, maxStaleness: Option[Long],
-                          nativeAsOf: Boolean = true)
+                          nativeAsOf: Boolean = true,
+                          tieCols: Seq[String] = Nil)
 
   /** Stage 2 (scale path): two-level bucket rollup.
     *
@@ -203,7 +210,7 @@ object FeaturePipeline {
         else points.repartitionByRange(col(entityCol), col(tsCol))
       Sessionize.withSessionId(
         base.sortWithinPartitions(col(entityCol), col(tsCol)),
-        entityCol, tsCol, cfg.sessionGap)
+        entityCol, tsCol, cfg.sessionGap, tieCols = cfg.tieCols)
     }
     // Stage 1 feeds THREE consumers (window features, grid bounds, the
     // as-of left side); without a checkpoint the lazy plan would re-run

@@ -73,7 +73,14 @@ object CoreQueries {
       round(TimeDomain.gradient(v, w), 6).as("grad"),
       TimeDomain.isPeak(v, w).as("is_peak"),
       round(TimeDomain.movingAverage(v, 5, w), 6).as("ma5"),
-      round(TimeDomain.ptDifferentiate(v), 6).as("ptdiff")
+      round(TimeDomain.ptDifferentiate(v), 6).as("ptdiff"),
+      // slope_sum (ppg.py:28-42) telescoped to v[i] − v[i−w], w = 8:
+      // positions i < w and the LAST position stay 0 (the reference
+      // loop's `range(w, len(x)-1)` bound — quirk preserved)
+      round(when(row_number().over(w) > 8 &&
+          row_number().over(w) <
+            count(lit(1)).over(Window.partitionBy(col("user_id"))),
+        v - lag(v, 8).over(w)).otherwise(0.0), 6).as("slope_sum8")
     ).orderBy(col("user_id"), col("event_id"))
   }
 
@@ -328,7 +335,10 @@ object CoreQueries {
         |  (lag(value) OVER o IS NOT NULL AND lead(value) OVER o IS NOT NULL
         |    AND value > lag(value) OVER o AND value > lead(value) OVER o) AS is_peak,
         |  round((sum(value) OVER (o ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) / 5.0, 6) AS ma5,
-        |  round(value / 8.0, 6) AS ptdiff
+        |  round(value / 8.0, 6) AS ptdiff,
+        |  round(CASE WHEN row_number() OVER o > 8
+        |      AND row_number() OVER o < count(*) OVER (PARTITION BY user_id)
+        |    THEN value - lag(value, 8) OVER o ELSE 0.0 END, 6) AS slope_sum8
         |FROM events
         |WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,

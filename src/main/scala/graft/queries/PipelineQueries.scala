@@ -27,8 +27,10 @@ object PipelineQueries {
     val ev = Tables.events(spark, dir).select(
       col("user_id").as("entity_id"),
       unix_micros(col("ts").cast("timestamp")).as("t"),
-      round(col("value") * 100).as("b"))
-    val cfg = FeaturePipeline.Config(Size, Step, MinLen, Gap, Some(Tol))
+      round(col("value") * 100).as("b"),
+      col("event_id")) // sessionize tie-break: events CAN repeat a ts
+    val cfg = FeaturePipeline.Config(Size, Step, MinLen, Gap, Some(Tol),
+      tieCols = Seq("event_id"))
     val out = FeaturePipeline.run(spark, ev, "entity_id", "t", "b", cfg)
     out.select(
       col("entity_id"), col("t"),

@@ -39,7 +39,15 @@ object SeqQueries {
     * y1 = b (the value lattice), y2 = b² (exact, < 2^53 in every partial
     * sum), y3 = |b − 25000|. Explicit integer-sum normal equations so
     * both engines agree bitwise; x-side sums are computed once and shared
-    * across columns, exactly like the reference's shared-x loop. */
+    * across columns, exactly like the reference's shared-x loop.
+    *
+    * Exactness scope: every partial sum stays below 2^53 (hence
+    * order-independent) for per-user series up to ~30k rows — the
+    * sum(x·y2) partials are the binding term (|b| ≤ ~5·10^4 → x·b² ≤
+    * n·2.5·10^9). That covers the gate (sf0.01, ~66 rows/user) and bench
+    * (sf0.1, ~666) with 40x headroom; beyond sf≈5 the y2 sums must move
+    * to decimal(38,0) / HUGEINT on both engines to keep the hash parity
+    * (the DuckDB side already aggregates in HUGEINT). */
   def qO1fit(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

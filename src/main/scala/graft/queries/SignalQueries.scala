@@ -155,9 +155,15 @@ object SignalQueries {
         val f = Spectral.fft(x)
         val freqs = Array.tabulate(32)(i => i * fs / 64)
         val psd = f.take(32).map(_.abs)
+        // rank on a 4-dp-quantized psd (+1e-9 boundary shift): the FFT
+        // and the oracle's direct DFT agree to ~1e-10, so a raw argmax
+        // between two near-equal bins could flip engines — a whole-bin
+        // divergence no output rounding absorbs. Quantized, near-equal
+        // bins TIE and both engines break the tie by bin index.
+        val psdQ = psd.map(v => math.floor((v + 1e-9) * 10000 + 0.5))
         Iterator(
           (0L, Spectral.powerBand(psd, freqs, 5, 15)),
-          (1L, Spectral.peakFrequency(psd, freqs, 5, 15)),
+          (1L, Spectral.peakFrequency(psdQ, freqs, 5, 15)),
           (2L, Spectral.relativePowerBand(psd, freqs, 5, 15)),
           (3L, psd.sum))
       }
@@ -255,9 +261,11 @@ object SignalQueries {
         // positive-frequency half of the centered grid, in value units
         val freqs = Spectral.nufftFreqs(m).drop(m / 2)
         val psd = spec.drop(m / 2).map(_.abs / 100.0)
+        // quantized ranking — same argmax-tie insurance as q_power_band
+        val psdQ = psd.map(v => math.floor((v + 1e-9) * 10000 + 0.5))
         Iterator(
           (0L, Spectral.powerBand(psd, freqs, 1, 4)),
-          (1L, Spectral.peakFrequency(psd, freqs, 1, 8)),
+          (1L, Spectral.peakFrequency(psdQ, freqs, 1, 8)),
           (2L, Spectral.relativePowerBand(psd, freqs, 1, 4)))
       }
     }.groupBy(col("entity_id")).pivot("t", Seq(0L, 1L, 2L))
@@ -626,7 +634,7 @@ object SignalQueries {
         |pk AS (
         |  SELECT user_id, f AS peak_f FROM (
         |    SELECT user_id, f, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY psd DESC, k) AS rk
+        |      ORDER BY floor((psd + 1e-9) * 10000 + 0.5) DESC, k) AS rk
         |    FROM sp WHERE f >= 5 AND f < 15) WHERE rk = 1)
         |SELECT agg.user_id::VARCHAR AS entity_id,
         |  round(band, 4) AS band_power,
@@ -641,11 +649,10 @@ object SignalQueries {
     // holds the slice of peak s + 24·max(0, (W-s)//24) for s in 1..23
     // (falling back to the initial future-fill peak s) and of peak
     // 24·(W//24) for s = 0 when W >= 24, else the NaN row (excluded).
-    // NOT a silent cap: the beat-index range 0..4095 covers any user
-    // with up to 8191 events — 12x the sf0.1 per-user series (~666) and
-    // far beyond the sf0.01 gate (~66); a decorrelated constant range
-    // is required because DuckDB cannot LEFT JOIN below a correlated
-    // unnest (see PLANS_r2.md / memory notes).
+    // The beat-index range is decorrelated (DuckDB cannot LEFT JOIN
+    // below a correlated unnest — see PLANS_r2.md) but its bound is
+    // DERIVED from max(pcount), not a constant: a fixed 4095 silently
+    // truncated users beyond 8191 events at large scale factors.
     // All slices are zero-padded ±4 windows around position 2·p+1; means
     // divide exact integer sums by 8, so rvv/sxy/yvv are exact.
     "q_quality" ->
@@ -659,7 +666,8 @@ object SignalQueries {
         |  FROM v GROUP BY user_id HAVING count(*) >= 48),
         |beats AS (
         |  SELECT nn.user_id, b.bi, nn.pcount
-        |  FROM nn JOIN (SELECT unnest(generate_series(0, 4095)) AS bi) b
+        |  FROM nn JOIN (SELECT unnest(generate_series(0,
+        |      (SELECT coalesce(max(pcount), 1) FROM nn) - 1)) AS bi) b
         |    ON b.bi < nn.pcount),
         |bw AS (
         |  SELECT user_id, bi, pcount,
@@ -740,7 +748,8 @@ object SignalQueries {
         |  FROM nn),
         |beats AS (
         |  SELECT c.user_id, b.bi, c.pcount, c.tthr, c.bend
-        |  FROM cst c JOIN (SELECT unnest(generate_series(0, 4095)) AS bi) b
+        |  FROM cst c JOIN (SELECT unnest(generate_series(0,
+        |      (SELECT coalesce(max(pcount), 1) FROM cst) - 1)) AS bi) b
         |    ON b.bi < c.pcount),
         |comp AS (SELECT * FROM beats WHERE bi >= 11 AND bi < bend),
         |slots AS (SELECT unnest(generate_series(0, 11)) AS s),
@@ -849,7 +858,7 @@ object SignalQueries {
         |pk AS (
         |  SELECT user_id, k::DOUBLE AS peak_f FROM (
         |    SELECT user_id, k, row_number() OVER (PARTITION BY user_id
-        |      ORDER BY p DESC, k) AS rk
+        |      ORDER BY floor((p + 1e-9) * 10000 + 0.5) DESC, k) AS rk
         |    FROM psd WHERE k >= 1 AND k < 8) WHERE rk = 1)
         |SELECT agg.user_id::VARCHAR AS entity_id,
         |  round(band, 4) AS band_power_1_4,
