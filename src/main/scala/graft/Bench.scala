@@ -128,13 +128,24 @@ object Bench {
     val sHigh = session(cpus)
 
     // --- per-query timings on the driver's sf dir ---
+    // Each query is timed TWICE in the same session: the first (cold)
+    // time folds in codegen + JIT + catalog warm-up and once misled a
+    // round verdict by up to 6x; the second (warm) time is the
+    // steady-state signal regressions should be adjudicated against.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { materialize(fn(sHigh, sfDir)) }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        try { materialize(fn(sHigh, sfDir)) }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = one()
+      val warm = one()
+      (name, cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, c, _) => "\"" + k + f"\":$c%.3f" }
+      .mkString("{", ",", "}")
+    val qsWarm = results.map { case (k, _, w) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val ladderJson = levels.map { case (c, (med, runs)) =>
@@ -144,7 +155,7 @@ object Bench {
       f""""eff_${a}_$b":$e%.3f"""
     }.mkString(",")
     println(
-      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"scaling":{"rows":$rows,"cores_low":${ladder.head},"cores_high":${ladder.last},"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f,"efficiency_pair":"${ladder.head}->${ladder(1 min (ladder.length - 1))} cores (N->4N, pre-bandwidth-saturation; see BASELINE.md)",$effJson,"ladder":$ladderJson}}""")
+      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"scaling":{"rows":$rows,"cores_low":${ladder.head},"cores_high":${ladder.last},"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f,"efficiency_pair":"${ladder.head}->${ladder(1 min (ladder.length - 1))} cores (N->4N, pre-bandwidth-saturation; see BASELINE.md)",$effJson,"ladder":$ladderJson}}""")
     sHigh.stop()
   }
 }

@@ -11,11 +11,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   *  - gap sessionization → `session_window(ts, gap)` (event time +
   *    watermark; late data policy = watermark);
-  *  - tumbling/sliding feature windows → `window(ts, size, slide)`.
-  *    NOTE: streaming windows anchor at the EPOCH, the batch engine's
-  *    anchored grid anchors at each entity's first timestamp
-  *    (windows.py:175 semantics) — the batch path is the parity-
-  *    authoritative one; the streaming dual is for continuous serving;
+  *  - tumbling/sliding feature windows → `window(ts, size, slide)`
+  *    (epoch-anchored, for continuous serving) and
+  *    [[anchoredGridStream]], the exact first-ts-anchored dual of the
+  *    batch grid (windows.py:175 semantics) via flatMapGroupsWithState;
   *  - the per-entity stateful scans (§2.6) → flatMapGroupsWithState,
   *    here instantiated as a running feature state that emits one
   *    vector per arriving point with ZERO look-ahead (the streaming
@@ -130,6 +129,89 @@ object StreamOps {
                 if (usable) Some(st.refTs) else None,
                 if (usable) Some(st.refValue) else None)
             }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Per-open-window partial aggregates: mergeable, O(overlap) per
+    * entity (wsize/wstep open windows at a time — a query constant). */
+  final case class GridPart(n: Long, sum: Double, sumsq: Double,
+                            vmin: Double, vmax: Double)
+
+  final case class GridState(first: Long, kNext: Long,
+                             parts: Map[Long, GridPart])
+
+  final case class GridWindow(entity_id: String, window_start: Long,
+                              n_points: Long, f_mean: Option[Double],
+                              f_std: Option[Double], f_min: Option[Double],
+                              f_max: Option[Double])
+
+  /** FIRST-TS-anchored grid windows as a stream — the true streaming
+    * dual of [[graft.operators.Windows.anchoredWindows]] (windows.py:175
+    * anchor semantics), closing the epoch-anchor divergence that
+    * [[slidingFeatures]] documents: state per entity = (anchor = first
+    * ts seen, one mergeable partial per OPEN window). A window
+    * [start, start+wsize) is emitted the moment a point proves it past
+    * (ts >= start+wsize) — zero look-ahead: the emitted features only
+    * ever saw rows inside the window. Windows close in k order, so
+    * emission is in-order per entity; empty grid slots emit n = 0 rows
+    * and windows with n < minWindowLen emit NULL features, both exactly
+    * as the batch grid. Windows still open at stream end (those the
+    * batch grid would build from ts beyond what the stream has seen)
+    * are withheld — parity: streaming output == batch output restricted
+    * to window_start + wsize <= max(ts) per entity (StreamingSpec).
+    * Late points older than an already-closed window are DROPPED
+    * (watermark policy), never emitted twice. */
+  def anchoredGridStream(points: Dataset[SeqPoint], wsize: Long,
+                         wstep: Long, minWindowLen: Long)
+                        (implicit spark: SparkSession)
+  : Dataset[GridWindow] = {
+    import spark.implicits._
+    require(wsize > 0 && wstep > 0)
+    points.groupByKey(_.entity_id)
+      .flatMapGroupsWithState[GridState, GridWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (entity, rows, state: GroupState[GridState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts)
+          var st = state.getOption
+            .getOrElse(GridState(sorted.head.ts, 0L, Map.empty))
+          val out = Seq.newBuilder[GridWindow]
+          def emit(k: Long): Unit = {
+            val p = st.parts.getOrElse(k, GridPart(0L, 0.0, 0.0,
+              Double.NaN, Double.NaN))
+            val full = p.n >= minWindowLen && p.n > 0
+            val mean = p.sum / p.n
+            out += GridWindow(entity, st.first + k * wstep, p.n,
+              if (full) Some(mean) else None,
+              if (full) Some(math.sqrt(p.sumsq / p.n - mean * mean))
+              else None,
+              if (full) Some(p.vmin) else None,
+              if (full) Some(p.vmax) else None)
+            st = st.copy(kNext = k + 1, parts = st.parts - k)
+          }
+          sorted.foreach { p =>
+            // close every window this point proves past (in k order)
+            while (st.first + st.kNext * wstep + wsize <= p.ts) emit(st.kNext)
+            val off = p.ts - st.first
+            if (off >= 0) {
+              val kMax = off / wstep // floor: off >= 0
+              val kMin = math.max(st.kNext,
+                math.max(0L, Math.floorDiv(off - wsize, wstep) + 1))
+              var k = kMin
+              while (k <= kMax) {
+                val prev = st.parts.getOrElse(k,
+                  GridPart(0L, 0.0, 0.0, Double.PositiveInfinity,
+                    Double.NegativeInfinity))
+                st = st.copy(parts = st.parts.updated(k, GridPart(
+                  prev.n + 1, prev.sum + p.value,
+                  prev.sumsq + p.value * p.value,
+                  math.min(prev.vmin, p.value),
+                  math.max(prev.vmax, p.value))))
+                k += 1
+              }
+            } // off < 0: late point before the anchor — dropped
           }
           state.update(st)
           out.result().iterator

@@ -200,6 +200,56 @@ class SignalSpec extends SparkSpec {
       s"mean gap $meanGap far from period $period")
   }
 
+  test("decision rules: structural invariants hold on random beat " +
+    "trains with injected noise peaks (seeded)") {
+    val fs = 128.0
+    val rnd = new scala.util.Random(7)
+    (0 until 4).foreach { trial =>
+      val n = 1600 + rnd.nextInt(400)
+      val period = 80 + rnd.nextInt(40)
+      val sig = Array.tabulate(n) { i =>
+        val ph = i % period
+        val spike = if (ph < 4) 1.0 - 0.25 * ph else 0.0
+        // injected noise peaks + baseline wobble
+        2.0 * spike + 0.35 * rnd.nextDouble() +
+          0.1 * math.sin(2 * math.Pi * i / 256.0)
+      }
+      val fecg = Qrs.filterHamiltonTompkins(sig, fs)
+      val cand = Qrs.findPeaks(fecg)
+      val acc = Qrs.decisionRuleHamiltonTompkins(fecg, cand, fs)
+      val candSet = cand.toSet
+      assert(acc.forall(candSet), s"trial $trial: accepted not in cand")
+      assert(acc.sameElements(acc.sorted.distinct),
+        s"trial $trial: accepted not strictly increasing")
+      // the ±200 ms local-max gate is unconditional in the rule
+      acc.foreach { p =>
+        val lo = math.max(0, p - 25)
+        val hi = math.min(fecg.length, p + 25)
+        assert(fecg(p) >= fecg.slice(lo, hi).max,
+          s"trial $trial: accepted $p not a ±200ms local max")
+      }
+      // homogeneity: every comparison in the rule is linear in the
+      // signal scale, so an EXACT power-of-two rescale (fp-lossless)
+      // must select the identical peak set — the invariant the
+      // scale-free q_rpeaks oracle replay relies on
+      val acc4 = Qrs.decisionRuleHamiltonTompkins(
+        fecg.map(_ * 4.0), cand, fs)
+      assert(acc4.sameElements(acc), s"trial $trial: not scale-invariant")
+
+      // PPG rule on the same noisy train: onsets strictly increase with
+      // the eye-closing minimum gap (next argmax window starts 38 past
+      // the previous trigger => consecutive onsets differ by >= 20)
+      val onsets = Ppg.pulseOnsetPhysionet(sig, fs.toInt)
+      onsets.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b - a >= 20, s"trial $trial: onset gap ${b - a} < 20")
+        case _ => ()
+      }
+      assert(onsets.forall(j => j >= 0 && j < n),
+        s"trial $trial: onset out of range")
+    }
+  }
+
   test("PPG physionet rule fires on a synthetic pulse train") {
     val fsi = 64
     val n = 64 * 40

@@ -174,6 +174,72 @@ class StreamingSpec extends SparkSpec {
       s"late ref must not regress the state: $got")
   }
 
+  test("anchoredGridStream equals the batch first-ts-anchored grid on " +
+    "closed windows, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    // irregular per-entity series: first ts NOT aligned to any epoch
+    // grid, gaps leaving some windows empty
+    val ptsE = Seq(7L, 9L, 12L, 13L, 21L, 22L, 55L, 58L, 90L, 91L, 93L)
+      .zipWithIndex.map { case (t, i) =>
+        SeqPoint("e", t, (i * 37 % 11).toDouble, "web")
+      }
+    val ptsF = Seq(100L, 104L, 131L, 160L).zipWithIndex.map {
+      case (t, i) => SeqPoint("f", t, (i * 5 + 1).toDouble, "web")
+    }
+    val all = ptsE ++ ptsF
+    val (wsize, wstep, minLen) = (16L, 8L, 2L)
+    val input = MemoryStream[SeqPoint]
+    input.addData(all.filter(_.ts < 60): _*)
+    val stream = StreamOps.anchoredGridStream(input.toDS(), wsize, wstep,
+      minLen)
+    val q = stream.writeStream.format("memory").queryName("grid_tbl")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(all.filter(_.ts >= 60): _*) // state carries across
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("grid_tbl").collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toMap
+
+    // batch truth: anchoredWindows with the identical agg formulas,
+    // restricted to windows CLOSED by the data the stream has seen
+    // (window_end <= per-entity max ts)
+    import org.apache.spark.sql.functions._
+    val batchDf = graft.operators.Windows.anchoredWindows(
+      all.toDS().toDF(), "entity_id", "ts", wsize, wstep, minLen,
+      Seq((sum(col("value")) / count(lit(1))).as("f_mean"),
+        sqrt(sum(col("value") * col("value")) / count(lit(1)) -
+          (sum(col("value")) / count(lit(1))) *
+            (sum(col("value")) / count(lit(1)))).as("f_std")))
+    val lastTs = all.groupBy(_.entity_id)
+      .map { case (k, v) => k -> v.map(_.ts).max }
+    val exp = batchDf.collect().map { r =>
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }.toMap.filter { case ((e, start), _) => start + wsize <= lastTs(e) }
+
+    assert(got.keySet == exp.keySet,
+      s"closed-window sets differ: ${got.keySet} vs ${exp.keySet}")
+    exp.foreach { case (k, (n, m, sd)) =>
+      val (gn, gm, gsd) = got(k)
+      assert(gn == n, s"$k n: $gn vs $n")
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+        case (None, None) => true
+        case _ => false
+      }
+      assert(close(gm, m), s"$k mean: $gm vs $m")
+      assert(close(gsd, sd), s"$k std: $gsd vs $sd")
+    }
+    // empty grid slots must appear with n = 0 (e has a gap 22 -> 55)
+    assert(exp.exists(_._2._1 == 0L), "fixture should cover empty windows")
+  }
+
   test("dedupStream emits the first document per content hash across " +
     "micro-batches") {
     implicit val sqlCtx = spark.sqlContext
