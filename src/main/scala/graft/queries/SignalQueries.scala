@@ -72,11 +72,10 @@ object SignalQueries {
       else Qrs.filterPanTompkins(vs, Fs).iterator.zip(ts.iterator)
         .map { case (v, t) => (t, v) }
     }.select(col("entity_id"), col("t"),
-      // +1e-9 before rounding on BOTH sides: MA outputs can land on
-      // exact .xxxx5 decimals where Spark (shortest-repr HALF_UP) and
-      // DuckDB (binary) rounding disagree; the shift moves such values
-      // decisively off the boundary.
-      round(col("out") + 1e-9, 4).as("pt_filtered"))
+      // Since round 3 the oracle's MA is an ORDERED list fold (replays
+      // the kernel loop bit-exactly), so 6 dp holds; +1e-9 on BOTH
+      // sides remains as boundary insurance.
+      round(col("out") + 1e-9, 6).as("pt_filtered"))
       .orderBy(col("entity_id"), col("t"))
   }
 
@@ -89,7 +88,7 @@ object SignalQueries {
       else Qrs.filterHamiltonTompkins(vs, Fs).iterator.zip(ts.iterator)
         .map { case (v, t) => (t, v) }
     }.select(col("entity_id"), col("t"),
-      round(col("out") + 1e-9, 4).as("ht_filtered"))
+      round(col("out") + 1e-9, 6).as("ht_filtered"))
       .orderBy(col("entity_id"), col("t"))
   }
 
@@ -313,32 +312,40 @@ object SignalQueries {
 
   /** Pan–Tompkins filter chain (qrs.py:41-56): bandpass 5–15 Hz
     * filtfilt → x/8 (the shipped differentiator bug) → square →
-    * centered MA(0.2·fs = 25, zero-padded edges). The window-sum order
-    * differs between engines (~1e−16 relative), hence 4 dp (6 dp
-    * straddled the rounding boundary on 3 of 10000 rows). */
+    * centered MA(0.2·fs = 25, zero-padded edges). Round 3: the MA is an
+    * ORDERED per-row list fold instead of a window SUM (whose
+    * segment-tree order was only ~1e−16-equal and forced 4 dp) — now
+    * bit-exact, compared at 6 dp. */
   private def ptFilterOracle: String =
     SqlGen.filtfiltChain(Butterworth.design(5, Seq(5.0 / 64, 15.0 / 64),
       Butterworth.Bandpass), SqlGen.eventsSig) +
       s"""
-         |, sq AS (SELECT user_id, idx0, (y/8.0)*(y/8.0) AS s FROM ff)
-         |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
-         |  round(sum(s) OVER (PARTITION BY user_id ORDER BY idx0
-         |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) / 25.0 + 1e-9, 4)
-         |    AS pt_filtered
-         |FROM sq ORDER BY entity_id, t""".stripMargin
+         |, sq AS (SELECT user_id, idx0 AS g, (y/8.0)*(y/8.0) AS s FROM ff),
+         |lw AS (
+         |  SELECT user_id, g,
+         |    list(s) OVER (PARTITION BY user_id ORDER BY g
+         |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS w
+         |  FROM sq)
+         |SELECT user_id::VARCHAR AS entity_id, g + 1 AS t,
+         |  round(${SqlGen.lsum("w")} / 25.0 + 1e-9, 6) AS pt_filtered
+         |FROM lw ORDER BY entity_id, t""".stripMargin
 
   /** Hamilton–Tompkins filter chain (qrs.py:107-113): bandpass 3–25 Hz
-    * filtfilt → |x/8| → centered MA(0.08·fs = 10; lo = 5, hi = 4). */
+    * filtfilt → |x/8| → centered MA(0.08·fs = 10; lo = 5, hi = 4) —
+    * ordered-fold MA, bit-exact at 6 dp (as ptFilterOracle). */
   private def htFilterOracle: String =
     SqlGen.filtfiltChain(Butterworth.design(5, Seq(3.0 / 64, 25.0 / 64),
       Butterworth.Bandpass), SqlGen.eventsSig) +
       s"""
-         |, av AS (SELECT user_id, idx0, abs(y/8.0) AS s FROM ff)
-         |SELECT user_id::VARCHAR AS entity_id, idx0 + 1 AS t,
-         |  round(sum(s) OVER (PARTITION BY user_id ORDER BY idx0
-         |    ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) / 10.0 + 1e-9, 4)
-         |    AS ht_filtered
-         |FROM av ORDER BY entity_id, t""".stripMargin
+         |, av AS (SELECT user_id, idx0 AS g, abs(y/8.0) AS s FROM ff),
+         |lw AS (
+         |  SELECT user_id, g,
+         |    list(s) OVER (PARTITION BY user_id ORDER BY g
+         |      ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) AS w
+         |  FROM av)
+         |SELECT user_id::VARCHAR AS entity_id, g + 1 AS t,
+         |  round(${SqlGen.lsum("w")} / 10.0 + 1e-9, 6) AS ht_filtered
+         |FROM lw ORDER BY entity_id, t""".stripMargin
 
   /** q_rpeaks oracle: the full Hamilton–Tompkins pipeline replayed in
     * SQL, BIT-EXACT end to end (qrs.py:59-197 semantics via the Scala
