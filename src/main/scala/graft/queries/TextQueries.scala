@@ -196,6 +196,64 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/eval DECONTAMINATION — the n-gram overlap check every
+    * training-data pipeline runs before a model sees the corpus: does a
+    * training document contain an eval document's passages? Documents
+    * with doc_id >= 450 play the eval set; contamination = shared
+    * winnowed 8-gram fingerprints (the qDocFingerprint scheme — MOSS
+    * winnowing guarantees any shared passage >= k+w-1 tokens leaves a
+    * shared fingerprint). Per eval doc: how many of its fingerprints
+    * appear in training docs, how many distinct training docs hit, and
+    * the worst offender. Scale shape: per-row fingerprinting (zero
+    * joins) then ONE equi-join on the fingerprint value — partitionable
+    * at any corpus size, exactly like the dedup family. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val B = 131L
+    def polyHash(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => (acc * B + x) % M)
+    def kgOf(tk: Column): Column = when(size(tk) >= 8,
+      transform(sequence(lit(0), size(tk) - 8), i =>
+        polyHash(slice(tk, i + 1, lit(8)))))
+      .otherwise(array().cast("array<bigint>"))
+    def winsOf(kg: Column): Column = when(size(kg) >= 4,
+      transform(sequence(lit(0), size(kg) - 4), i =>
+        array_min(slice(kg, i + 1, lit(4)))))
+      .otherwise(array().cast("array<bigint>"))
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), kgOf(col("tk")).as("kg"))
+      .select(col("doc_id"),
+        explode(array_distinct(winsOf(col("kg")))).as("fp"))
+    val train = fp.where(col("doc_id") < 450)
+      .select(col("doc_id").as("train_id"), col("fp"))
+    val eval_ = fp.where(col("doc_id") >= 450)
+      .select(col("doc_id").as("eval_id"), col("fp"))
+    val nFp = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_fp"))
+    val hits = eval_.join(train, Seq("fp"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("fp")).as("n_shared_fp"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    val worst = eval_.join(train, Seq("fp"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("pair_fps"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("eval_id"))
+          .orderBy(col("pair_fps").desc, col("train_id"))).cast("long"))
+      .where(col("rk") === 1)
+      .select(col("eval_id"), col("train_id").as("worst_train_doc"),
+        col("pair_fps").as("worst_shared"))
+    nFp.join(hits, Seq("eval_id"), "left")
+      .join(worst, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_fp"),
+        coalesce(col("n_shared_fp"), lit(0L)).as("n_shared_fp"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_shared_fp"), lit(0L)) / col("n_fp").cast("double"))
+          .as("contamination"),
+        col("worst_train_doc"), col("worst_shared"))
+      .orderBy(col("eval_id"))
+  }
+
   /** Multimodal-column plumbing: text bytes treated as an opaque binary
     * payload with typed metadata; the decode step is a clearly-marked
     * deterministic STUB (no image/audio libs in this container) — the
@@ -218,6 +276,7 @@ object TextQueries {
     "q_tokens_window" -> (qTokensWindow _),
     "q_tokens_bigrams" -> (qTokensBigrams _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_word_jaccard" -> (qWordJaccard _),
     "q_text_quality" -> (qTextQuality _),
@@ -305,6 +364,54 @@ object TextQueries {
         |  len(regexp_extract_all(text, '[a-z]{1,4}'))::BIGINT
         |    AS n_bpe_tokens
         |FROM w ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), w -> length(w)) AS tokens
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(generate_series(0, len(tokens) - 8), i ->
+        |        list_reduce(list_prepend(0::BIGINT,
+        |            list_slice(tokens, i + 1, i + 8)),
+        |          (acc, x) -> (acc * 131 + x) % 1000000007))
+        |    ELSE [] END AS kg
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(kg) >= 4 THEN
+        |      list_transform(generate_series(0, len(kg) - 4), i ->
+        |        list_min(list_slice(kg, i + 1, i + 4)))
+        |    ELSE [] END) AS fps
+        |  FROM k),
+        |fpx AS (SELECT doc_id, u.fp FROM w, unnest(fps) AS u(fp)),
+        |train AS (SELECT doc_id AS train_id, fp FROM fpx WHERE doc_id < 450),
+        |ev AS (SELECT doc_id AS eval_id, fp FROM fpx WHERE doc_id >= 450),
+        |nfp AS (SELECT eval_id, count(*) AS n_fp FROM ev GROUP BY 1),
+        |hits AS (
+        |  SELECT eval_id, count(DISTINCT fp) AS n_shared_fp,
+        |    count(DISTINCT train_id) AS n_train_docs
+        |  FROM ev JOIN train USING (fp) GROUP BY 1),
+        |worst AS (
+        |  SELECT eval_id, train_id AS worst_train_doc,
+        |    pair_fps AS worst_shared
+        |  FROM (
+        |    SELECT e.eval_id, tr.train_id, count(*) AS pair_fps,
+        |      row_number() OVER (PARTITION BY e.eval_id
+        |        ORDER BY count(*) DESC, tr.train_id) AS rk
+        |    FROM ev e JOIN train tr USING (fp)
+        |    GROUP BY 1, 2)
+        |  WHERE rk = 1)
+        |SELECT n.eval_id, n.n_fp,
+        |  coalesce(h.n_shared_fp, 0) AS n_shared_fp,
+        |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+        |  coalesce(h.n_shared_fp, 0) / n.n_fp::DOUBLE AS contamination,
+        |  wr.worst_train_doc, wr.worst_shared
+        |FROM nfp n
+        |LEFT JOIN hits h USING (eval_id)
+        |LEFT JOIN worst wr USING (eval_id)
+        |ORDER BY eval_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS rep_doc
