@@ -183,6 +183,93 @@ case class SparseSignedDotExpr(child: Expression, dims: Seq[Int],
       newChild: Expression): SparseSignedDotExpr = copy(child = newChild)
 }
 
+/** Squared L2 distance Σ (a_i − b_i)² — the hot scalar of the IVF
+  * quantizer's points×k assignment scan (EmbedQueries.ivfParts). Same
+  * posture as [[DotProductExpr]]: replaces the interpreted
+  * `aggregate(zip_with(...))` fold with a codegen'd tight loop whose
+  * float semantics are identical (widen-to-double per element, subtract,
+  * square, accumulate in ascending order) — results and oracle floats
+  * are bit-identical to the HOF form. */
+case class L2DistSqExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => elemType(e) match {
+      case FloatType | DoubleType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2_dist_sq needs array<float|double> inputs, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    def getter(e: Expression, v: String, i: String): String =
+      if (elemType(e) == FloatType) s"(double) $v.getFloat($i)"
+      else s"$v.getDouble($i)"
+    val nullFlag = ctx.addMutableState("boolean", "l2DistNull")
+    val fn = ctx.freshName("l2DistSq")
+    val arrCls = classOf[ArrayData].getName
+    val fnName = ctx.addNewFunction(fn,
+      s"""
+         |private double $fn($arrCls a, $arrCls b) {
+         |  $nullFlag = false;
+         |  final int n = a.numElements();
+         |  if (n != b.numElements()) { $nullFlag = true; return 0.0; }
+         |  double s = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if (a.isNullAt(i) || b.isNullAt(i)) {
+         |      $nullFlag = true; return 0.0;
+         |    }
+         |    final double d =
+         |      ${getter(left, "a", "i")} - ${getter(right, "b", "i")};
+         |    s += d * d;
+         |  }
+         |  return s;
+         |}
+       """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"""
+         |${ev.value} = $fnName($l, $r);
+         |${ev.isNull} = $nullFlag;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistSqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object Vectors {
   /** Codegen'd dot product over array<float|double> columns. */
@@ -196,4 +283,9 @@ object Vectors {
                       signs: Seq[Double]): Column =
     GraftBridge.column(
       SparseSignedDotExpr(GraftBridge.expression(emb), dims, signs))
+
+  /** Codegen'd squared L2 distance over array<float|double> columns. */
+  def l2DistSq(a: Column, b: Column): Column =
+    GraftBridge.column(
+      L2DistSqExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

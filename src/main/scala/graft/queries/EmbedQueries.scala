@@ -61,10 +61,11 @@ object EmbedQueries {
       .orderBy(col("label"))
   }
 
-  /** Σ (x_i − c_i)² as the same ordered fold on both engines. */
+  /** Σ (x_i − c_i)²: the native codegen'd expression (bit-identical to
+    * the `aggregate(zip_with(...))` fold — same widen/subtract/square/
+    * ascending-accumulate chain; VectorSpec asserts the equality). */
   private def d2Col(x: Column, c: Column): Column =
-    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Vectors.l2DistSq(x, c)
 
   /** IVF building blocks: double-cast embeddings, 1.5 Lloyd iterations
     * of a k = 16 coarse quantizer (init = vec_id 0..15), final cell

@@ -29,6 +29,30 @@ class VectorExprSpec extends SparkSpec {
     assert(df.where(col("native").isNull).count() == 0)
   }
 
+  test("l2DistSq == HOF fold bitwise; NULL on mismatch") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      (i, Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    def hofD2(a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), Vectors.l2DistSq(col("a"), col("b")).as("native"),
+        hofD2(col("a"), col("b")).as("hof"))
+    assert(df.where(col("native") =!= col("hof")).count() == 0,
+      "native l2 differs bitwise from the HOF fold")
+    // float inputs widen per element, like dot
+    val fdf = Seq((Array(1.0f, 2.0f), Array(3.0f, 0.5f))).toDF("a", "b")
+    assertClose(fdf.select(Vectors.l2DistSq(col("a"), col("b")))
+      .head().getDouble(0), 4.0 + 2.25, "float l2")
+    val mdf = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    assert(mdf.select(Vectors.l2DistSq(col("a"), col("b")))
+      .head().isNullAt(0), "length mismatch must be NULL")
+  }
+
   test("dot handles double arrays and float x double mixes") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, -1.0, 2.0)))
       .toDF("f", "d")
