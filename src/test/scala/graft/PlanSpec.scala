@@ -69,6 +69,19 @@ class PlanSpec extends SparkSpec {
       "tiny-side join should not shuffle both sides")
   }
 
+  test("IVF: centroid scoring broadcasts the k-side; candidate " +
+    "generation is a cell equi-join") {
+    val plan = planOf(graft.queries.EmbedQueries.qAnnIvf(spark, sf))
+    assert(plan.contains("BroadcastExchange"),
+      "centroid side not broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "IVF degraded to a cartesian product")
+    // the native expression must be in the plan (not the HOF fallback)
+    assert(plan.contains("l2distsqexpr") ||
+      plan.contains("L2DistSq") || plan.contains("l2DistSq"),
+      "native L2 expression missing — HOF fallback in the hot scan")
+  }
+
   test("MinHash/SimHash candidate generation stays on equi-joins " +
     "(banded keys), never a nested-loop scan") {
     Seq("q_minhash_lsh" -> graft.queries.DedupQueries.qMinhashLsh _,
