@@ -14,6 +14,12 @@ object GraftBridge {
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Resolve the planner strategies an extensions bundle would inject
+    * (private[sql] builder — used by the GraftExtensions spec). */
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession)
+  : Seq[execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
+
   /** Column <-> Expression for graft's native Catalyst expressions. */
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
