@@ -18,14 +18,64 @@ object Tables {
     * GRAFT_ICEBERG_CATALOG (and register iceberg-spark-runtime on the
     * cluster) and the same call resolves `<catalog>.<db>.<name>`;
     * the local harness has no iceberg jar, so it reads the driver's
-    * parquet files through the identical code path. */
+    * parquet files through the identical code path.
+    *
+    * File FORMAT is a runtime conf (`graft.source.format`, default
+    * parquet): orc reads directly; csv/json are schema-on-read text
+    * formats, so they load the DDL sidecar `<name>.<fmt>.schema` that
+    * [[copyTo]] writes (schema inference is nondeterministic and scans
+    * the data twice — never used). Timestamps round-trip at full
+    * microsecond precision via explicit format options. */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     sys.env.get("GRAFT_ICEBERG_CATALOG") match {
       case Some(cat) =>
         val db = sys.env.getOrElse("GRAFT_ICEBERG_DB", "graft")
         spark.read.table(s"$cat.$db.$name")
-      case None => spark.read.parquet(s"$sfDir/$name.parquet")
+      case None =>
+        spark.conf.get("graft.source.format", "parquet") match {
+          case "parquet" => spark.read.parquet(s"$sfDir/$name.parquet")
+          case "orc" => spark.read.orc(s"$sfDir/$name.orc")
+          case fmt @ ("csv" | "json") =>
+            val ddl = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"$sfDir/$name.$fmt.schema")),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val r = spark.read.format(fmt)
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+              .options(textFormatOptions)
+            (if (fmt == "csv") r.option("header", "true") else r)
+              .load(s"$sfDir/$name.$fmt")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported graft.source.format: $other")
+        }
     }
+
+  /** Micro-precision timestamp round-trip for the text formats (the
+    * defaults truncate to millis). */
+  private val textFormatOptions = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** Materialize a table in another source format next to `outDir`
+    * (data + DDL schema sidecar for the schema-on-read formats) — the
+    * fixture writer for the multi-format read path. */
+  def copyTo(spark: SparkSession, sfDir: String, name: String,
+             outDir: String, format: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val w = df.coalesce(1).write.mode("overwrite")
+      .options(textFormatOptions)
+    format match {
+      case "orc" => w.orc(s"$outDir/$name.orc")
+      case "csv" => w.option("header", "true").csv(s"$outDir/$name.csv")
+      case "json" => w.json(s"$outDir/$name.json")
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+    if (format == "csv" || format == "json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/$name.$format.schema"),
+        df.schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
