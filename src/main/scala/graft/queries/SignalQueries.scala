@@ -235,6 +235,18 @@ object SignalQueries {
       .orderBy(col("doc_id"), col("frame"))
   }
 
+  /** RESIZE stage of the media pipeline (decode → frame-sample →
+    * 2×2 mean-pool → features): exact quarter-integer arithmetic, so
+    * the oracle compare is bit-exact unrounded
+    * ([[graft.functions.Multimodal.resizedFeaturesOf]]). */
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.functions.Multimodal.resizedFeatures(
+      graft.functions.Multimodal.mediaTable(spark, 200), frameStride = 2)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
   /** Frequency-domain HRV over NON-UNIFORM samples (the reference's
     * NUFFT use case, SURVEY.md §2.8: PSD of an irregularly-timed nni
     * series): per user, event times map to [0, 2π), the type-1 NUFFT
@@ -280,6 +292,7 @@ object SignalQueries {
     "q_ht_filter" -> (qHtFilter _),
     "q_rpeaks" -> (qRpeaks _),
     "q_pulse_onsets" -> (qPulseOnsets _),
+    "q_media_resize" -> (qMediaResize _),
     "q_sampen" -> (qSampen _),
     "q_power_band" -> (qPowerBand _),
     "q_hrv_freq" -> (qHrvFreq _),
@@ -526,8 +539,9 @@ object SignalQueries {
     * aggregates (integer sums — order-free). Mirrors
     * [[graft.functions.Multimodal.makeBlob]]/frameFeatures for
     * nDocs = 200, frameStride = 2. */
-  private def mediaOracle: String = {
-    val m64 = "18446744073709551616"
+  /** Shared WITH-chain of the media replays, ending in
+    * `pix(i, w, h, f, px, v)` — the decoded sampled-frame pixel stream. */
+  private def mediaChain: String =
     s"""WITH di AS (SELECT unnest(generate_series(0, 199))::HUGEINT AS i),
        |dm AS (SELECT i, ${SqlGen.mixCols("i", "m")} FROM di),
        |d5 AS (SELECT i, ${SqlGen.mixCols("xor(5::HUGEINT, mr)", "w")} FROM dm),
@@ -557,7 +571,12 @@ object SignalQueries {
        |  SELECT px.i, px.w, px.h, px.f, px.px,
        |    ${SqlGen.mixCols("xor(px.ai, pmx.pr)", "t")}
        |  FROM px JOIN pmx ON pmx.pkey = px.pkey),
-       |pix AS (SELECT i, w, h, f, px, tr // ${1L << 56} AS v FROM pv),
+       |pix AS (SELECT i, w, h, f, px, tr // ${1L << 56} AS v FROM pv)"""
+      .stripMargin
+
+  private def mediaOracle: String = {
+    val m64 = "18446744073709551616"
+    mediaChain + s""",
        |feat AS (
        |  SELECT i, w, h, f,
        |    sum(v) AS s, max(v) AS mx,
@@ -574,6 +593,31 @@ object SignalQueries {
        |FROM feat ORDER BY doc_id, frame""".stripMargin
   }
 
+  /** q_media_resize oracle: 2×2 mean pooling over the same decoded
+    * pixel stream — every output is exact arithmetic (cell sums are
+    * integers; pooled values are quarter-integers, whose sums are exact
+    * in double in ANY order), so the compare is bit-exact unrounded. */
+  private def mediaResizeOracle: String =
+    mediaChain + """,
+       |pool AS (
+       |  SELECT i, f, (w // 2) AS w2, (h // 2) AS h2,
+       |    (px % w) // 2 AS cx, (px // w) // 2 AS cy, v
+       |  FROM pix
+       |  WHERE (px % w) < 2 * (w // 2) AND (px // w) < 2 * (h // 2)),
+       |cells AS (
+       |  SELECT i, f, w2, h2, cx, cy, sum(v) AS cell
+       |  FROM pool GROUP BY 1, 2, 3, 4, 5, 6),
+       |feats AS (
+       |  SELECT i, f, w2, h2,
+       |    sum(cell / 4.0) / (w2 * h2) AS mean_pooled,
+       |    max(cell / 4.0) AS max_pooled,
+       |    sum(cell)::BIGINT AS pool_checksum
+       |  FROM cells GROUP BY 1, 2, 3, 4)
+       |SELECT 'doc_' || lpad(i::VARCHAR, 8, '0') AS doc_id,
+       |  f::INT AS frame, w2::INT AS w2, h2::INT AS h2,
+       |  mean_pooled, max_pooled, pool_checksum
+       |FROM feats ORDER BY doc_id, frame""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_filtfilt" -> filtfiltOracle,
     "q_pt_filter" -> ptFilterOracle,
@@ -581,6 +625,7 @@ object SignalQueries {
     "q_rpeaks" -> rpeaksOracle,
     "q_pulse_onsets" -> pulseOracle,
     "q_media_features" -> mediaOracle,
+    "q_media_resize" -> mediaResizeOracle,
     "q_sampen" ->
       """WITH v AS (
         |  SELECT user_id, round(value*100) AS b,
