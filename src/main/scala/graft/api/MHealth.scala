@@ -287,11 +287,15 @@ object MHealth {
                            cutoff: Double, order: Int,
                            ftype: Butterworth.FType,
                            spark: SparkSession): DataFrame = {
+      // AXIS-FIRST key encoding: the axis segment is a column NAME
+      // (sane identifiers, never ':'), so splitting on the FIRST ':'
+      // is safe even when entity VALUES contain ':' — the entity-first
+      // form would truncate ids like "site:12"
       val stacked = df.select(col(entityCol), col(tsCol),
         explode(array(axisCols.map(a =>
           struct(lit(a).as("axis"), col(a).cast("double").as("v"))): _*))
           .as("s"))
-        .select(concat(col(entityCol), lit(":"), col("s.axis"))
+        .select(concat(col("s.axis"), lit(":"), col(entityCol))
           .as("__ea"), col(tsCol), col("s.v"))
       val c = Butterworth.design(order, Seq(cutoff / (freq / 2)), ftype)
       PerEntity.transform(spark, stacked, "__ea", tsCol, "v") { (ts, vs) =>
@@ -299,8 +303,8 @@ object MHealth {
         else Butterworth.filtfilt(c, vs).iterator.zip(ts.iterator)
           .map { case (v, t) => (t, v) }
       }.select(
-        split(col("__ea"), ":").getItem(0).as(entityCol),
-        split(col("__ea"), ":").getItem(1).as("axis"),
+        expr("substring(__ea, instr(__ea, ':') + 1)").as(entityCol),
+        substring_index(col("__ea"), ":", 1).as("axis"),
         col(tsCol), col("out").as("filtered"))
     }
   }

@@ -34,10 +34,15 @@ object Sinks {
 
   /** Scan only the one bucket directory an entity can live in —
     * the partition predicate is on the directory column, so pruning
-    * happens before any file is opened. */
+    * happens before any file is opened. The lookup literal is CAST to
+    * the stored column's type before hashing: murmur3 hashes Int 5 and
+    * Long 5 differently, so an untyped literal would prune to the wrong
+    * directory and silently return zero rows. */
   def entityScan(spark: SparkSession, path: String, entityCol: String,
-                 nBuckets: Int, entity: Any): DataFrame =
-    spark.read.parquet(path)
-      .where(col("bucket") === bucketOf(lit(entity), nBuckets) &&
-        col(entityCol) === lit(entity))
+                 nBuckets: Int, entity: Any): DataFrame = {
+    val df = spark.read.parquet(path)
+    val key = lit(entity).cast(df.schema(entityCol).dataType)
+    df.where(col("bucket") === bucketOf(key, nBuckets) &&
+      col(entityCol) === key)
+  }
 }

@@ -36,9 +36,10 @@ object Tables {
           case "parquet" => spark.read.parquet(s"$sfDir/$name.parquet")
           case "orc" => spark.read.orc(s"$sfDir/$name.orc")
           case fmt @ ("csv" | "json") =>
-            val ddl = new String(java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(s"$sfDir/$name.$fmt.schema")),
-              java.nio.charset.StandardCharsets.UTF_8)
+            // sidecar read goes through Hadoop FS so the format flag
+            // works on any store the data readers support (hdfs/s3a/…),
+            // not just the driver's local disk
+            val ddl = readText(spark, s"$sfDir/$name.$fmt.schema")
             val r = spark.read.format(fmt)
               .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
               .options(textFormatOptions)
@@ -56,6 +57,24 @@ object Tables {
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
 
+  private def readText(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeText(spark: SparkSession, path: String,
+                        content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Materialize a table in another source format next to `outDir`
     * (data + DDL schema sidecar for the schema-on-read formats) — the
     * fixture writer for the multi-format read path. */
@@ -72,9 +91,7 @@ object Tables {
         throw new IllegalArgumentException(s"unsupported format: $other")
     }
     if (format == "csv" || format == "json")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$outDir/$name.$format.schema"),
-        df.schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      writeText(spark, s"$outDir/$name.$format.schema", df.schema.toDDL)
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =

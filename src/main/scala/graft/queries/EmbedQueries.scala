@@ -75,10 +75,13 @@ object EmbedQueries {
     * (tie → smallest cell id) is exact, not tolerance-based. */
   private def ivfParts(spark: SparkSession, dir: String)
   : (DataFrame, DataFrame, DataFrame) = {
+    // ed is NOT cached: its recompute is a single small parquet scan,
+    // and session-lifetime caches accumulate across a 57-query run
+    // (never unpersisted from inside a query fn); only the 16-row
+    // centroid table below is worth pinning.
     val ed = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("xd"))
-      .cache() // consumed by init, two assignment passes, and queries
     val c0 = ed.where(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("xd").as("cvec"))
     def assign(cents: DataFrame): DataFrame = {

@@ -220,11 +220,15 @@ object TextQueries {
       transform(sequence(lit(0), size(kg) - 4), i =>
         array_min(slice(kg, i + 1, lit(4)))))
       .otherwise(array().cast("array<bigint>"))
+    // cache: three consumers (counts, hits, worst) would otherwise
+    // re-run the per-row polyHash fingerprinting — the dominant cost —
+    // once each (the minhash signature-table lesson); ~30 rows/doc
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), kgOf(col("tk")).as("kg"))
       .select(col("doc_id"),
         explode(array_distinct(winsOf(col("kg")))).as("fp"))
+      .cache()
     val train = fp.where(col("doc_id") < 450)
       .select(col("doc_id").as("train_id"), col("fp"))
     val eval_ = fp.where(col("doc_id") >= 450)

@@ -89,6 +89,23 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("AccelApi.axisFilter survives ':' inside entity ids " +
+    "(axis-first key encoding)") {
+    implicit val s = spark
+    val rows = (0 until 60).map { i =>
+      ("site:12", i.toLong, math.sin(i / 3.0), math.cos(i / 4.0))
+    }
+    val df = rows.toDF("entity_id", "ts", "ax", "ay")
+    val got = MHealth.AccelApi.gravityFilter(df, "entity_id", "ts",
+      Seq("ax", "ay"), freq = 64)
+    val ents = got.select("entity_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    val axes = got.select("axis").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ents == Set("site:12"), s"entity mangled: $ents")
+    assert(axes == Set("ax", "ay"), s"axes mangled: $axes")
+  }
+
   test("StatsApi.profile and LocationApi distances are sane") {
     val df = Seq(("e", 1.0), ("e", 2.0), ("e", 3.0), ("e", 4.0))
       .toDF("entity_id", "v")

@@ -54,6 +54,15 @@ class SourcesSinksSpec extends SparkSpec {
     val scan = Sinks.entityScan(spark, path, "user_id", 8, anyUser)
     val expected = events.where(col("user_id") === lit(anyUser)).count()
     assert(scan.count() == expected, "pruned scan lost rows")
+    // a lookup literal of a WIDER type must still hash into the right
+    // bucket (murmur3 hashes Int 5 and Long 5 differently — the scan
+    // casts to the stored column type first)
+    val widened = anyUser match {
+      case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+      case other => other
+    }
+    assert(Sinks.entityScan(spark, path, "user_id", 8, widened).count()
+      == expected, "type-widened lookup pruned to the wrong bucket")
     // the partition predicate must reach the scan (directory pruning)
     val plan = scan.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
