@@ -132,6 +132,10 @@ object Bench {
     // time folds in codegen + JIT + catalog warm-up and once misled a
     // round verdict by up to 6x; the second (warm) time is the
     // steady-state signal regressions should be adjudicated against.
+    // shuffle/spill volume per query (cold pass) — the scale diagnostic
+    // that survives host noise: an added exchange shows as a bytes jump
+    // even when wall time doesn't move reliably
+    val tally = graft.core.ShuffleTally.install(sHigh.sparkContext)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def one(): Double = {
         val t0 = System.nanoTime()
@@ -139,14 +143,20 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = one()
+      val (cold, delta) = tally.measure(sHigh.sparkContext)(one())
       val warm = one()
-      (name, cold, warm)
+      (name, cold, warm, delta)
     }
-    val qs = results.map { case (k, c, _) => "\"" + k + f"\":$c%.3f" }
+    val qs = results.map { case (k, c, _, _) => "\"" + k + f"\":$c%.3f" }
       .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, _, w) => "\"" + k + f"\":$w%.3f" }
+    val qsWarm = results.map { case (k, _, w, _) => "\"" + k + f"\":$w%.3f" }
       .mkString("{", ",", "}")
+    val qsShuffle = results.map { case (k, _, _, d) =>
+      "\"" + k + f"\":${d.shuffleWriteBytes / 1e6}%.2f"
+    }.mkString("{", ",", "}")
+    val qsSpill = results.filter(_._4.spilledBytes > 0).map { case (k, _, _, d) =>
+      "\"" + k + f"\":${d.spilledBytes / 1e6}%.1f"
+    }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     val ladderJson = levels.map { case (c, (med, runs)) =>
       f"""{"cores":$c,"secs_median":$med%.2f,"runs":${arr(runs)},"tput":${rows / med}%.1f}"""
@@ -155,7 +165,7 @@ object Bench {
       f""""eff_${a}_$b":$e%.3f"""
     }.mkString(",")
     println(
-      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"scaling":{"rows":$rows,"cores_low":${ladder.head},"cores_high":${ladder.last},"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f,"efficiency_pair":"${ladder.head}->${ladder(1 min (ladder.length - 1))} cores (N->4N, pre-bandwidth-saturation; see BASELINE.md)",$effJson,"ladder":$ladderJson}}""")
+      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"queries_shuffle_mb":$qsShuffle,"queries_spill_mb":$qsSpill,"scaling":{"rows":$rows,"cores_low":${ladder.head},"cores_high":${ladder.last},"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f,"efficiency_pair":"${ladder.head}->${ladder(1 min (ladder.length - 1))} cores (N->4N, pre-bandwidth-saturation; see BASELINE.md)",$effJson,"ladder":$ladderJson}}""")
     sHigh.stop()
   }
 }
