@@ -23,12 +23,22 @@ class PlanSpec extends SparkSpec {
   private def exchanges(plan: String): Int =
     "\\(\\d+\\) Exchange".r.findAllIn(plan).length
 
-  test("no query plans a CartesianProduct (the one join shape that " +
-    "cannot survive scale)") {
+  // The only queries allowed a BroadcastNestedLoopJoin: each scores a
+  // CONSTANT-size broadcast side against the big side (all-pairs geo
+  // anchors, the 20-row top-k query set, the k=16 IVF centroids) —
+  // points×k shapes where k is a query constant, not data.
+  private val bnljAllowed = Set("q_geo_pairs", "q_embed_topk",
+    "q_embed_neardup", "q_ivf_cells", "q_ann_ivf")
+
+  test("no query plans a CartesianProduct, and nested-loop joins only " +
+    "appear where a constant-size side justifies them") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = planOf(fn(spark, sf))
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name grew an unexpected nested-loop join")
     }
   }
 
