@@ -25,12 +25,51 @@ object DedupQueries {
   private val K = 16      // minhash signature length
   private val Bands = 4   // LSH bands (rows per band = K/Bands = 4)
 
+  /** Candidate-generation blowup control, two levels (both replayed
+    * verbatim by the DuckDB oracles, so the gate hashes stay exact):
+    *
+    * 1. EXACT-FINGERPRINT COLLAPSE. Within-bucket pair generation is
+    *    quadratic in occupancy, and the measured quadratic mass at
+    *    every sf is identical-fingerprint clusters (162-doc clusters =
+    *    66k pairs at sf0.1; a degenerate corpus of 10⁶ boilerplate-
+    *    identical docs would emit ~10¹² pairs). So docs are first
+    *    grouped by their FULL signature/fingerprint; the minimum
+    *    doc_id is the cluster representative, every other member
+    *    emits one (rep, member) link — O(n) per cluster, and the
+    *    links are sound by construction (identical fingerprint ⇒
+    *    Hamming 0; identical signature ⇒ near-certain dup, still
+    *    exact-verified on the MinHash path). Banding then runs over
+    *    DISTINCT fingerprints only, where it stays pair-level
+    *    LOSSLESS: connected components of the output equal those of
+    *    the uncapped all-pairs graph (every member reaches its rep at
+    *    distance 0, reps carry the cross-cluster edges).
+    *
+    * 2. BACKSTOP RANK-CAP. An adversarial corpus can still flood one
+    *    band bucket with DISTINCT fingerprints (10⁶ docs differing in
+    *    one token). Members are ranked by doc_id inside each (band,
+    *    hash) bucket; ALL pairs are generated among the first Cap
+    *    members, and every overflow member pairs only with the bucket
+    *    representative (rank 1) — O(Cap² + n) per bucket. The cap is
+    *    sized (1024) far above the worst measured legitimate
+    *    occupancy (2 for minhash, 312 for 16-bit simhash at sf0.1),
+    *    so it NEVER fires at gate scales and is purely the
+    *    adversarial bound; when it does fire it deliberately trades
+    *    recall (overflow members keep only their rank-1 edge) for a
+    *    bounded shuffle. DedupSpec drives both regimes through the
+    *    `cap` parameter. */
+  private[queries] val BucketCap = 1024
+
+  /** rank-based capped pair predicate: x before y in the bucket, and
+    * either y is inside the cap window or x is the representative. */
+  private def cappedPair(xRk: Column, yRk: Column, cap: Int): Column =
+    xRk < yRk && (yRk <= cap || xRk === 1)
+
   /** Word 3-shingles per doc, distinct: (doc_id, sh). Shingling is
     * per-row array work — a single `transform` over the split array
     * (zero joins, zero shuffles before the distinct), not a positional
     * self-join: at 100 TB the latter would shuffle the exploded words
     * table twice for what is a map-side expression. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private def shingles(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     // sequence(0, size-3) descends when size < 3 — guard to empty.
     val sh3 = when(size(ws) >= 3,
@@ -38,7 +77,7 @@ object DedupQueries {
         concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
           element_at(ws, i + 3))))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), explode(sh3).as("sh"))
       .distinct()
   }
@@ -50,24 +89,51 @@ object DedupQueries {
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** MinHash + LSH banding: candidate pairs from band-bucket collisions,
-    * then exact Jaccard verification on candidates only. */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+  /** MinHash + LSH banding: candidate pairs from band-bucket collisions
+    * (per-bucket occupancy capped — see [[BucketCap]]), then exact
+    * Jaccard verification on candidates only. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir))
+
+  /** The MinHash+LSH kernel over an arbitrary (doc_id, text) corpus —
+    * factored out (with the backstop cap as a parameter) so DedupSpec
+    * can drive degenerate corpora through both blowup controls. */
+  def minhashPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+    val sh = shingles(docs).cache()
     // signature table is 1 row/doc but costs 16 md5-min aggs over the
-    // exploded shingles — cache it so the band self-join computes it once
-    val sig = signatures(sh).cache()
+    // exploded shingles — cache it so the collapse window, the band
+    // self-join and the rep links compute it once
+    val sigk = signatures(sh)
+      .withColumn("sk", md5(concat((0 until K).map(i => col(s"sig$i")): _*)))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sk")).orderBy(col("doc_id"))
+    val repw = org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))
+    val clustered = sigk
+      .withColumn("crk", row_number().over(cw))
+      .withColumn("rep", min(col("doc_id")).over(repw))
+      .cache()
+    // level 1: identical-signature members link to their representative
+    val links = clustered.where(col("crk") > 1)
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    // banding over DISTINCT signatures only (the representatives)
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until K / Bands).map(r => col(s"sig${b * (K / Bands) + r}"))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
     }
-    val buckets = sig.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("bk"))
+    val buckets = clustered.where(col("crk") === 1)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // level 2: occupancy rank inside each (band, bh) bucket; the window
+    // shuffles on the same key the self-join uses, so the join reuses
+    // the partitioning instead of adding an exchange
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val ranked = buckets.withColumn("rk", row_number().over(bw))
+    val cand = ranked.as("x").join(ranked.as("y"),
       col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-        col("x.doc_id") < col("y.doc_id"))
+        cappedPair(col("x.rk"), col("y.rk"), cap))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .union(links)
       .distinct()
     // exact Jaccard on candidates
     val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -98,8 +164,61 @@ object DedupQueries {
     * banding trick as the MinHash path — then the exact Hamming check
     * verifies. At corpus scale the fingerprint widens to 64 bits with
     * proportionally more bands; the plan shape is unchanged. */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  /** The SimHash near-dup kernel over an arbitrary (doc_id, text)
+    * corpus; identical fingerprints collapse to representative links
+    * and band buckets are backstop-capped like the MinHash path. */
+  def simhashPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
+    // cache: the fingerprint+cluster table is 1 row/doc (tiny at any
+    // scale) but costs a full word-explode aggregation — the rep links
+    // and the banded self-join would otherwise recompute it per side.
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("simhash")).orderBy(col("doc_id"))
+    val repw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("simhash"))
+    val clustered = simhashFingerprints(docs)
+      .withColumn("crk", row_number().over(cw))
+      .withColumn("rep", min(col("doc_id")).over(repw))
+      .cache()
+    // level 1: identical-fingerprint members link to their rep (Hamming 0)
+    val links = clustered.where(col("crk") > 1)
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"),
+        col("simhash").as("ha"), col("simhash").as("hb"),
+        lit(0L).as("hamming"))
+    // 3 disjoint bands over DISTINCT fingerprints: bits [0,6), [6,11), [11,16)
+    val bandCols = array(
+      struct(lit(0).as("bi"), col("simhash").bitwiseAND(lit(63L)).as("bv")),
+      struct(lit(1).as("bi"),
+        shiftright(col("simhash"), 6).bitwiseAND(lit(31L)).as("bv")),
+      struct(lit(2).as("bi"),
+        shiftright(col("simhash"), 11).bitwiseAND(lit(31L)).as("bv")))
+    val bands = clustered.where(col("crk") === 1)
+      .select(col("doc_id"), col("simhash"), explode(bandCols).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.bi").as("bi"), col("bk.bv").as("bv"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bi"), col("bv")).orderBy(col("doc_id"))
+    val ranked = bands.withColumn("rk", row_number().over(bw))
+    val a = ranked.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
+      col("bi"), col("bv"), col("rk").as("rka"))
+    val b = ranked.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
+      col("bi"), col("bv"), col("rk").as("rkb"))
+    a.join(b, Seq("bi", "bv"))
+      .where(cappedPair(col("rka"), col("rkb"), cap))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 2)
+      .union(links)
+      .distinct() // a pair can collide in several bands
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-doc 16-bit fingerprints (exposed for DedupSpec's brute-force
+    * cross-check of the banding guarantees). */
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .withColumn("h", md5(col("w")))
@@ -111,39 +230,19 @@ object DedupQueries {
     val fp = (0 until 16).map(j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    // cache: the fingerprint table is 1 row/doc (tiny at any scale) but
-    // costs a full word-explode aggregation — the banded self-join would
-    // otherwise compute it once per side.
-    val sims = agg.select(col("doc_id"), fp.as("simhash")).cache()
-    // 3 disjoint bands: bits [0,6), [6,11), [11,16)
-    val bandCols = array(
-      struct(lit(0).as("bi"), col("simhash").bitwiseAND(lit(63L)).as("bv")),
-      struct(lit(1).as("bi"),
-        shiftright(col("simhash"), 6).bitwiseAND(lit(31L)).as("bv")),
-      struct(lit(2).as("bi"),
-        shiftright(col("simhash"), 11).bitwiseAND(lit(31L)).as("bv")))
-    val bands = sims
-      .select(col("doc_id"), col("simhash"), explode(bandCols).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.bi").as("bi"), col("bk.bv").as("bv"))
-    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
-      col("bi"), col("bv"))
-    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
-      col("bi"), col("bv"))
-    a.join(b, Seq("bi", "bv"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("ha"), col("hb"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .where(col("hamming") <= 2)
-      .distinct() // a pair can collide in several bands
-      .orderBy(col("a_id"), col("b_id"))
+    agg.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Embedding-cosine near-duplicates: exact pairs with cos >= 0.9
-    * among vec_id < 400 (brute-force verification tier of ANN dedup). */
+    * among vec_id < 400 (brute-force verification tier of ANN dedup).
+    * The coverage cap is NOT silent: every output row carries
+    * `scanned_universe` = the cap, so a reader of the results table at
+    * any sf knows exactly which slice of the corpus was pair-scanned. */
+  private val NeardupCap = 400L
+
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     def dot(x: Column, y: Column): Column = graft.functions.Vectors.dot(x, y)
-    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 400)
+    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < NeardupCap)
     // norms are per-VECTOR work — compute them once per side, not per
     // pair (the expression tree sqrt(dot(x,x)) is unchanged, so the
     // oracle's floats still match bitwise)
@@ -154,7 +253,8 @@ object DedupQueries {
     broadcast(a).join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-          .as("cos_sim"))
+          .as("cos_sim"),
+        lit(NeardupCap).as("scanned_universe"))
       .where(col("cos_sim") >= 0.9)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -267,8 +367,9 @@ object DedupQueries {
         .map(i => s"min(md5('$i|' || sh)) AS sig$i").mkString(",\n        |    ")
       val bandRows = (0 until Bands).map { b =>
         val parts = (0 until K / Bands).map(r => s"sig${b * (K / Bands) + r}")
-        s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || ")}) AS bh FROM sig"
+        s"SELECT doc_id, $b AS band, md5(${parts.mkString(" || ")}) AS bh FROM reps"
       }.mkString("\n        |  UNION ALL ")
+      val skExpr = (0 until K).map(i => s"sig$i").mkString(" || ")
       s"""WITH words AS (
         |  SELECT doc_id, w, pos FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -283,12 +384,29 @@ object DedupQueries {
         |  SELECT doc_id,
         |    $sigExprs
         |  FROM sh GROUP BY doc_id),
+        |clus AS (
+        |  SELECT doc_id, md5($skExpr) AS sk,
+        |    row_number() OVER (PARTITION BY md5($skExpr)
+        |      ORDER BY doc_id) AS crk,
+        |    min(doc_id) OVER (PARTITION BY md5($skExpr)) AS rep
+        |  FROM sig),
+        |links AS (SELECT rep AS a_id, doc_id AS b_id FROM clus WHERE crk > 1),
+        |reps AS (
+        |  SELECT s.* FROM sig s JOIN clus c ON c.doc_id = s.doc_id
+        |  WHERE c.crk = 1),
         |buckets AS (
         |  $bandRows),
+        |ranked AS (
+        |  SELECT doc_id, band, bh,
+        |    row_number() OVER (PARTITION BY band, bh ORDER BY doc_id)
+        |      AS rk
+        |  FROM buckets),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.bh = y.bh
-        |    AND x.doc_id < y.doc_id),
+        |  SELECT DISTINCT a_id, b_id FROM (
+        |    SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |    FROM ranked x JOIN ranked y ON x.band = y.band AND x.bh = y.bh
+        |      AND x.rk < y.rk AND (y.rk <= $BucketCap OR x.rk = 1)
+        |    UNION ALL SELECT a_id, b_id FROM links)),
         |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (
         |  SELECT c.a_id, c.b_id, count(*) AS inter
@@ -321,17 +439,41 @@ object DedupQueries {
         |  SELECT doc_id,
         |    $bitSums
         |  FROM words WHERE len(w) > 0 GROUP BY doc_id),
-        |sims AS (SELECT doc_id, $fp AS simhash FROM agg)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  a.simhash::BIGINT AS ha, b.simhash::BIGINT AS hb,
-        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |sims AS (SELECT doc_id, ($fp)::BIGINT AS simhash FROM agg),
+        |clus AS (
+        |  SELECT doc_id, simhash,
+        |    row_number() OVER (PARTITION BY simhash ORDER BY doc_id) AS crk,
+        |    min(doc_id) OVER (PARTITION BY simhash) AS rep
+        |  FROM sims),
+        |links AS (
+        |  SELECT rep AS a_id, doc_id AS b_id, simhash AS ha,
+        |    simhash AS hb, 0::BIGINT AS hamming
+        |  FROM clus WHERE crk > 1),
+        |bands AS (
+        |  SELECT doc_id, simhash, b.bi,
+        |    CASE b.bi WHEN 0 THEN simhash & 63
+        |              WHEN 1 THEN (simhash >> 6) & 31
+        |              ELSE (simhash >> 11) & 31 END AS bv
+        |  FROM (SELECT doc_id, simhash FROM clus WHERE crk = 1) reps,
+        |    (SELECT unnest([0, 1, 2]) AS bi) b),
+        |ranked AS (
+        |  SELECT doc_id, simhash, bi, bv,
+        |    row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) AS rk
+        |  FROM bands)
+        |SELECT DISTINCT a_id, b_id, ha, hb, hamming FROM (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    x.simhash AS ha, y.simhash AS hb,
+        |    bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        |  FROM ranked x JOIN ranked y ON x.bi = y.bi AND x.bv = y.bv
+        |    AND x.rk < y.rk AND (y.rk <= $BucketCap OR x.rk = 1)
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+        |  UNION ALL SELECT a_id, b_id, ha, hb, hamming FROM links)
         |ORDER BY a_id, b_id""".stripMargin
     },
     "q_embed_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < $NeardupCap)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -339,7 +481,8 @@ object DedupQueries {
         |    / (sqrt(list_sum(list_transform(a.embedding,
         |        x -> x::DOUBLE * x::DOUBLE)))
         |      * sqrt(list_sum(list_transform(b.embedding,
-        |        x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim
+        |        x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos_sim,
+        |  $NeardupCap::BIGINT AS scanned_universe
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),

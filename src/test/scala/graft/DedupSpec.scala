@@ -27,52 +27,150 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below the LSH design point")
   }
 
-  test("simhash banding is lossless: banded pairs == brute-force pairs " +
-    "at Hamming <= 2 (pigeonhole over 6/5/5-bit bands)") {
-    // one query run: pairs AND the per-doc fingerprint map both come
-    // from the same collected rows (a_id/ha, b_id/hb columns)
+  /** union-find over doc-id edges → canonical component labeling */
+  private def components(ids: Seq[Long],
+                         edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("simhash output is sound, lossless at the distinct-fingerprint " +
+    "level, and component-equivalent to brute force at Hamming <= 2") {
+    val fps = DedupQueries.simhashFingerprints(
+      graft.core.Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rows = DedupQueries.qSimhash(spark, sf).collect()
     val got = rows.map(r => (r.getLong(r.fieldIndex("a_id")),
       r.getLong(r.fieldIndex("b_id")))).toSet
-    val fps = rows.flatMap(r => Seq(
-      r.getLong(r.fieldIndex("a_id")) -> r.getLong(r.fieldIndex("ha")),
-      r.getLong(r.fieldIndex("b_id")) -> r.getLong(r.fieldIndex("hb"))))
-      .toMap
-    // any pair present in got must satisfy the distance bound…
+    // soundness: every emitted pair is a true Hamming <= 2 pair
     got.foreach { case (a, b) =>
       val d = java.lang.Long.bitCount(fps(a) ^ fps(b))
       assert(d <= 2, s"pair ($a,$b) at hamming $d")
     }
-    // …and every close pair among emitted docs must be in got (the
-    // banding may never lose one — pigeonhole guarantee)
-    val ids = fps.keys.toSeq.sorted
-    for (i <- ids.indices; j <- i + 1 until ids.length) {
-      val (a, b) = (ids(i), ids(j))
+    // rep-level losslessness: banding over distinct fingerprints may
+    // never lose a close pair of cluster representatives (pigeonhole
+    // over 6/5/5-bit bands; the backstop cap must not fire at this sf)
+    val reps = fps.groupBy(_._2).map { case (_, m) => m.keys.min }.toSeq.sorted
+    for (i <- reps.indices; j <- i + 1 until reps.length) {
+      val (a, b) = (reps(i), reps(j))
       if (java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 2)
-        assert(got.contains((a, b)), s"banding lost close pair ($a,$b)")
+        assert(got.contains((a, b)), s"banding lost rep pair ($a,$b)")
     }
-    info(s"${got.size} pairs, ${ids.size} docs cross-checked")
+    // every non-rep doc reaches its representative at distance 0
+    fps.groupBy(_._2).values.filter(_.size > 1).foreach { m =>
+      val rep = m.keys.min
+      m.keys.filter(_ != rep).foreach(d =>
+        assert(got.contains((rep, d)), s"member $d lost its rep link"))
+    }
+    // …therefore the connected components equal the uncapped all-pairs
+    // graph's (the dedup-semantics guarantee of the collapse design)
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      if java.lang.Long.bitCount(fps(ids(i)) ^ fps(ids(j))) <= 2
+    } yield (ids(i), ids(j))).toSet
+    assert(components(ids, got) == components(ids, brute),
+      "capped output changed the dedup components")
+    info(s"${got.size} pairs vs ${brute.size} brute-force pairs, " +
+      s"${reps.size} distinct fps over ${ids.size} docs — components equal")
   }
 
-  test("minhash LSH candidates contain every exact duplicate pair") {
-    // exact dupes (same text) must collide in ALL bands => always
-    // candidates => present in q_minhash_lsh output with jaccard 1.0
-    val dupes = graft.core.Tables.documents(spark, sf)
+  test("exact-fingerprint collapse: a degenerate 1000-identical-doc " +
+    "corpus yields exactly n-1 representative links on both paths") {
+    import org.apache.spark.sql.functions._
+    val n = 1000
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    // uncapped banding would emit C(1000,2) = 499500 pairs; the
+    // collapse level reduces the cluster to one rep + 999 links
+    val expect = n - 1
+    val mh = DedupQueries.minhashPairs(docs).collect()
+    assert(mh.length == expect,
+      s"minhash emitted ${mh.length} pairs, expected $expect")
+    mh.foreach { r =>
+      assert(r.getLong(r.fieldIndex("a_id")) == 0L, "rep must be doc 0")
+      assertClose(r.getDouble(r.fieldIndex("jaccard")), 1.0,
+        "identical-doc jaccard")
+    }
+    val sh = DedupQueries.simhashPairs(docs).collect()
+    assert(sh.length == expect,
+      s"simhash emitted ${sh.length} pairs, expected $expect")
+    sh.foreach { r =>
+      assert(r.getLong(r.fieldIndex("a_id")) == 0L, "rep must be doc 0")
+      assert(r.getLong(r.fieldIndex("hamming")) == 0L)
+    }
+    info(s"degenerate corpus: $expect rep links " +
+      s"(uncapped banding would emit ${n * (n - 1) / 2})")
+  }
+
+  test("backstop rank-cap: a bucket flooded with DISTINCT signatures " +
+    "is bounded to O(cap² + n) and stays a subset of the uncapped pairs") {
+    import org.apache.spark.sql.functions._
+    // near-identical docs with two unique tokens each: distinct shingle
+    // sets => (mostly) distinct signatures, but band hashes dominated by
+    // the shared shingles => crowded distinct-signature buckets
+    val n = 200
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta eta theta iota "),
+        lit("kappa lambda mu nu xi omicron pi rho sigma tau upsilon "),
+        lit("tok"), col("id"), lit(" phi chi psi omega "),
+        lit("var"), col("id") * 7).as("text"))
+    val capped = DedupQueries.minhashPairs(docs, cap = 4).collect()
+      .map(r => (r.getLong(r.fieldIndex("a_id")),
+        r.getLong(r.fieldIndex("b_id")))).toSet
+    val uncapped = DedupQueries.minhashPairs(docs, cap = Int.MaxValue)
+      .collect().map(r => (r.getLong(r.fieldIndex("a_id")),
+        r.getLong(r.fieldIndex("b_id")))).toSet
+    assert(capped.subsetOf(uncapped), "cap may only drop pairs, never add")
+    assert(capped.size < uncapped.size,
+      s"backstop never fired (capped=${capped.size}, " +
+        s"uncapped=${uncapped.size}) — corpus failed to crowd a bucket")
+    // connectivity through the bucket representative survives: the cap
+    // must not orphan any doc the uncapped graph touches (rank-1 edges
+    // are kept for every overflow member and jaccard here is ~1)
+    val touchU = uncapped.flatMap(p => Seq(p._1, p._2))
+    val touchC = capped.flatMap(p => Seq(p._1, p._2))
+    assert(touchC == touchU,
+      s"cap orphaned ${(touchU -- touchC).size} docs")
+    info(s"capped ${capped.size} ⊂ uncapped ${uncapped.size} pairs, " +
+      s"coverage ${touchC.size}/$n docs preserved")
+  }
+
+  test("minhash LSH links every exact duplicate into one component") {
+    // exact dupes (same text) have identical signatures => same collapse
+    // cluster => each member links to the cluster rep with jaccard 1.0
+    val dupeGroups = graft.core.Tables.documents(spark, sf)
       .selectExpr("md5(text) AS h", "doc_id")
       .collect().groupBy(_.getString(0)).values
       .filter(_.length > 1)
-      .flatMap { g =>
-        val ids = g.map(_.getLong(1)).sorted
-        ids.combinations(2).map(p => (p(0), p(1)))
-      }.toSet
-    val found = DedupQueries.qMinhashLsh(spark, sf).collect()
-      .map(r => ((r.getLong(r.fieldIndex("a_id")),
-        r.getLong(r.fieldIndex("b_id"))),
-        r.getDouble(r.fieldIndex("jaccard")))).toMap
-    dupes.foreach { p =>
-      assert(found.contains(p), s"exact dupe pair $p missed by LSH")
-      assertClose(found(p), 1.0, s"jaccard of exact dupe $p")
+      .map(_.map(_.getLong(1)).sorted.toSeq).toSeq
+    val rows = DedupQueries.qMinhashLsh(spark, sf).collect()
+    val found = rows.map(r => ((r.getLong(r.fieldIndex("a_id")),
+      r.getLong(r.fieldIndex("b_id"))),
+      r.getDouble(r.fieldIndex("jaccard")))).toMap
+    val ids = rows.flatMap(r => Seq(r.getLong(r.fieldIndex("a_id")),
+      r.getLong(r.fieldIndex("b_id")))).distinct.toSeq
+    val comp = components(ids, found.keySet)
+    dupeGroups.foreach { g =>
+      g.combinations(2).foreach { p =>
+        assert(comp.get(p(0)).exists(c => comp.get(p(1)).contains(c)),
+          s"exact dupes ${p(0)},${p(1)} not in one component")
+      }
+      // the direct (rep, member) links carry jaccard 1.0
+      g.tail.foreach { m =>
+        assertClose(found.getOrElse((g.head, m),
+          fail(s"missing rep link (${g.head},$m)")), 1.0, "dupe jaccard")
+      }
     }
-    info(s"${dupes.size} exact-duplicate pairs all recovered")
+    info(s"${dupeGroups.size} exact-duplicate groups all single-component")
   }
 }

@@ -112,6 +112,10 @@ class PlanSpec extends SparkSpec {
           !plan.contains("CartesianProduct"),
           s"$name candidate join degraded to a product scan:\n" +
             plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+        // the backstop occupancy cap must survive into the physical
+        // join condition (rk <= 1024 OR rk = 1 rank rule)
+        assert(plan.contains("1024"),
+          s"$name lost the bucket-occupancy cap from its join condition")
       }
   }
 }
