@@ -33,6 +33,8 @@ object QTime {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val s = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.drain() // query-scoped caches (see Caches)
+        graft.core.Caches.assertEmpty(spark)
         if (r > 1) println(f"$name run$r: $s%.2f s")
         else println(f"$name warmup: $s%.2f s")
       }

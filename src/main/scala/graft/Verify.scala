@@ -20,6 +20,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // cache hygiene: every cache a query registered is scoped to
+        // that query; a leak (unregistered cache) fails the whole run
+        graft.core.Caches.drain()
+        graft.core.Caches.assertEmpty(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -218,7 +218,7 @@ object FeaturePipeline {
     // runs already re-read the materialized parquet).
     val laid =
       if (checkpoint.isDefined) laidPlan
-      else laidPlan.persist(
+      else graft.core.Caches.persisted(laidPlan,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Stage 2: windowed features on the anchored per-entity grid — via

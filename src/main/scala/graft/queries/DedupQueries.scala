@@ -99,7 +99,7 @@ object DedupQueries {
     * factored out (with the backstop cap as a parameter) so DedupSpec
     * can drive degenerate corpora through both blowup controls. */
   def minhashPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val sh = shingles(docs).cache()
+    val sh = graft.core.Caches.cached(shingles(docs))
     // signature table is 1 row/doc but costs 16 md5-min aggs over the
     // exploded shingles — cache it so the collapse window, the band
     // self-join and the rep links compute it once
@@ -108,10 +108,9 @@ object DedupQueries {
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sk")).orderBy(col("doc_id"))
     val repw = org.apache.spark.sql.expressions.Window.partitionBy(col("sk"))
-    val clustered = sigk
+    val clustered = graft.core.Caches.cached(sigk
       .withColumn("crk", row_number().over(cw))
-      .withColumn("rep", min(col("doc_id")).over(repw))
-      .cache()
+      .withColumn("rep", min(col("doc_id")).over(repw)))
     // level 1: identical-signature members link to their representative
     val links = clustered.where(col("crk") > 1)
       .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
@@ -178,10 +177,9 @@ object DedupQueries {
       .partitionBy(col("simhash")).orderBy(col("doc_id"))
     val repw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("simhash"))
-    val clustered = simhashFingerprints(docs)
+    val clustered = graft.core.Caches.cached(simhashFingerprints(docs)
       .withColumn("crk", row_number().over(cw))
-      .withColumn("rep", min(col("doc_id")).over(repw))
-      .cache()
+      .withColumn("rep", min(col("doc_id")).over(repw)))
     // level 1: identical-fingerprint members link to their rep (Hamming 0)
     val links = clustered.where(col("crk") > 1)
       .select(col("rep").as("a_id"), col("doc_id").as("b_id"),

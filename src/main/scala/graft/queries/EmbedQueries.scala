@@ -105,8 +105,10 @@ object EmbedQueries {
       .agg(transform(array_sort(collect_list(struct(col("dim0"), col("cv")))),
         s => s.getField("cv")).as("cvec"))
       .select(col("cell").as("cid"), col("cvec"))
-      .cache() // feeds the final assignment AND the probe ranking
-    (ed, c1, assign(c1))
+    // feeds the final assignment AND the probe ranking; registered so
+    // the driver's post-query drain unpersists it (no session lifetime)
+    val c1c = graft.core.Caches.cached(c1)
+    (ed, c1c, assign(c1c))
   }
 
   /** IVF cell assignment — the coarse-quantizer layer of the ANN scale

@@ -60,8 +60,17 @@ object PipelineQueries {
     * like q_feature_pipeline, making resume correctness driver-visible
     * (it was spec-only through round 2). */
   def qFeaturePipelineResume(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_ckpt_resume").toString
+    // fixed per-process root, cleared up front: repeated invocations
+    // (Bench cold+warm+service loop, PlanSpec explains) must not
+    // accrete one three-stage checkpoint tree per call in /tmp
+    val root = {
+      val p = new org.apache.hadoop.fs.Path(
+        System.getProperty("java.io.tmpdir"), "graft_ckpt_resume")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.mkdirs(p)
+      p.toString
+    }
     runPipeline(spark, dir, Some(root)).write.format("noop")
       .mode("overwrite").save() // materialize all three checkpoints
     // kill the last stage's checkpoint: resume must recompute it from

@@ -42,10 +42,10 @@ object RqaQueries {
     // three independent run-length scans (diagonal, vertical,
     // laminarity) consume it, and each would otherwise re-run the
     // bounded self-join (capped at 64 rows/entity — a query constant)
-    val pairs = a.join(b, col("user_id") === col("u2"))
-      .where(abs(col("bi") - col("bj")) <= R)
-      .select(col("user_id"), col("i"), col("j"))
-      .cache()
+    val pairs = graft.core.Caches.cached(
+      a.join(b, col("user_id") === col("u2"))
+        .where(abs(col("bi") - col("bj")) <= R)
+        .select(col("user_id"), col("i"), col("j")))
 
     def runLengths(groupCol: org.apache.spark.sql.Column,
                    name: String): DataFrame = {

@@ -223,12 +223,11 @@ object TextQueries {
     // cache: three consumers (counts, hits, worst) would otherwise
     // re-run the per-row polyHash fingerprinting — the dominant cost —
     // once each (the minhash signature-table lesson); ~30 rows/doc
-    val fp = Tables.documents(spark, dir)
+    val fp = graft.core.Caches.cached(Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), kgOf(col("tk")).as("kg"))
       .select(col("doc_id"),
-        explode(array_distinct(winsOf(col("kg")))).as("fp"))
-      .cache()
+        explode(array_distinct(winsOf(col("kg")))).as("fp")))
     val train = fp.where(col("doc_id") < 450)
       .select(col("doc_id").as("train_id"), col("fp"))
     val eval_ = fp.where(col("doc_id") >= 450)

@@ -20,6 +20,11 @@ object GraftBridge {
   : Seq[execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 
+  /** True iff no InMemoryRelation is registered — the post-query cache-
+    * hygiene assertion (every cache must be scoped to its query). */
+  def cacheManagerEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Column <-> Expression for graft's native Catalyst expressions. */
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
