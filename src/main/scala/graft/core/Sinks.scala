@@ -26,7 +26,12 @@ object Sinks {
                     maxRecordsPerFile: Long = 5000000L): Unit =
     df.withColumn("bucket", bucketOf(col(entityCol), nBuckets))
       .repartition(col("bucket"))
-      .sortWithinPartitions(col(entityCol), col(tsCol))
+      // bucket leads the sort: partitionBy's writer requires ordering on
+      // [bucket] and would otherwise insert its own sort ABOVE this one,
+      // leaving the per-file (entity, ts) order to SortExec stability —
+      // with bucket first the writer's requirement is already satisfied
+      // and (entity, ts) is guaranteed within every file
+      .sortWithinPartitions(col("bucket"), col(entityCol), col(tsCol))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket")

@@ -43,7 +43,11 @@ object Tables {
             val r = spark.read.format(fmt)
               .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
               .options(textFormatOptions)
-            (if (fmt == "csv") r.option("header", "true") else r)
+            // multiLine: a string cell with an embedded newline (e.g.
+            // documents.text) must parse as ONE record, not bleed rows
+            (if (fmt == "csv")
+              r.option("header", "true").option("multiLine", "true")
+            else r)
               .load(s"$sfDir/$name.$fmt")
           case other =>
             throw new IllegalArgumentException(
@@ -55,7 +59,12 @@ object Tables {
     * defaults truncate to millis). */
   private val textFormatOptions = Map(
     "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    // csv fidelity: the WRITER trims leading/trailing whitespace by
+    // default (silently corrupting text cells that start/end with
+    // spaces or newlines); readers default false but pin both anyway
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
 
   private def readText(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -86,6 +95,8 @@ object Tables {
     format match {
       case "orc" => w.orc(s"$outDir/$name.orc")
       case "csv" => w.option("header", "true").csv(s"$outDir/$name.csv")
+      // (writer quotes embedded newlines/quotes by default; the reader's
+      // multiLine option makes those cells round-trip)
       case "json" => w.json(s"$outDir/$name.json")
       case other =>
         throw new IllegalArgumentException(s"unsupported format: $other")

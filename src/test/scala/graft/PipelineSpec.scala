@@ -194,4 +194,36 @@ class PipelineSpec extends SparkSpec {
     assert(out1.map(_.toString).toSeq == out2.map(_.toString).toSeq,
       "resumed pipeline output identical")
   }
+
+  test("duplicated (entity, ts) rows: threading a tie column makes " +
+    "session ids retry-stable under different input partitionings") {
+    import org.apache.spark.sql.functions.col
+    // quantize ts to force genuine (entity, ts) collisions, keep a
+    // unique generator position as the tie-break column
+    val dupRows = pointRows.zipWithIndex.map { case ((e, t, v), i) =>
+      val t3 = t * 3 // stretch so some gaps exceed sessionGap (=40)
+      (e, t3 - (t3 % 7), v, i.toLong)
+    }
+    val df = dupRows.toDF("entity_id", "ts", "value", "pos")
+    val cfgT = cfg.copy(tieCols = Seq("pos"))
+    def runWith(input: org.apache.spark.sql.DataFrame): Map[(String, Long,
+      Double, Long), Int] =
+      FeaturePipeline.run(spark, input, "entity_id", "ts", "value", cfgT)
+        .select(col("entity_id"), col("ts"), col("value"),
+          col("session_id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    // different physical layouts = a retry/speculative-execution proxy:
+    // the window ordering (ts, pos) is total, so session ids must not
+    // depend on how the shuffle happened to order tied rows
+    val a = runWith(df.repartition(7))
+    val b = runWith(df.repartition(3, col("value")))
+    assert(a == b, "session ids changed across partitionings")
+    assert(a.keys.map(_._4).toSet.size > 1, "fixture produced 1 session")
+    // and the collisions were real: some (entity, ts) pair repeats
+    assert(dupRows.groupBy(r => (r._1, r._2)).exists(_._2.size > 1),
+      "fixture produced no duplicate (entity, ts) keys")
+  }
 }

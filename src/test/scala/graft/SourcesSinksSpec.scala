@@ -35,6 +35,32 @@ class SourcesSinksSpec extends SparkSpec {
     } finally spark.conf.unset("graft.source.format")
   }
 
+  test("csv source round-trips hostile text cells: embedded newlines, " +
+    "quotes, delimiters (multiLine read path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val truth = Seq(
+      (0L, "plain text"),
+      (1L, "line one\nline two\nline three"),
+      (2L, "a \"quoted\" phrase, with commas"),
+      (3L, "trailing newline\n"),
+      (4L, "\n leading, and \"all\" of, it\n mixed"))
+      .toDF("doc_id", "text")
+    truth.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.copyTo(spark, dir, "documents", dir, "csv")
+    spark.conf.set("graft.source.format", "csv")
+    try {
+      val got = Tables.documents(spark, dir)
+      // csv read is always-nullable; compare names+types, not nullability
+      assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        truth.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        got.schema.toDDL)
+      assert(canon(got) == canon(truth),
+        "hostile csv cells bled rows or mangled quotes")
+      assert(got.count() == 5, "embedded newlines split records")
+    } finally spark.conf.unset("graft.source.format")
+  }
+
   test("bucketed sink: entity rows co-locate in one bucket dir and an " +
     "entity scan prunes partitions at the directory level") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
