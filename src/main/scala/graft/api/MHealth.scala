@@ -344,5 +344,22 @@ object MHealth {
       df.groupBy(col(entityCol)).agg(
         Geo.locationVariance(col(latCol), col(lonCol))
           .as("location_variance"))
+
+    /** cluster_locations (distribution.py:42-61): density clustering of
+      * per-entity coordinates. The reference delegates to HDBSCAN
+      * (external lib, nondeterministic labels); the engine substitutes
+      * deterministic grid-DBSCAN over `epsDeg`-degree cells with the
+      * reference's default min_samples = 1 + n/20 (pass `minPts` to
+      * override) — see [[graft.operators.GridDbscan]]. Adds `cluster`
+      * (min-cell-code component id, -1 = noise) and `is_core`. */
+    def clusterLocations(df: DataFrame, entityCol: String,
+                         latCol: String, lonCol: String,
+                         epsDeg: Double = 1.0,
+                         minPts: Option[Int] = None): DataFrame =
+      graft.operators.GridDbscan.label(
+        df.withColumn("cx", floor(col(latCol) / epsDeg).cast("long"))
+          .withColumn("cy", floor(col(lonCol) / epsDeg).cast("long")),
+        entityCol, minPts)
+        .drop("cx", "cy")
   }
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * src/mhealth/location/distribution.py — SURVEY.md §2.2/2.3).
   * Tri-axial signals and coordinates are derived deterministically from
   * `events` integer columns, so both engines compute identical inputs.
-  * HDBSCAN clustering is substituted by a deterministic 5°-grid label
-  * (SURVEY.md §7.6 substitution register) — the downstream cluster
-  * features (count, totals, entropy) are the reference semantics.
+  * HDBSCAN clustering is substituted per SURVEY.md §7.6: a deterministic
+  * 5°-grid label feeds the downstream cluster features (count, totals,
+  * entropy — reference semantics), and grid-DBSCAN (q_location_dbscan,
+  * [[graft.operators.GridDbscan]]) provides the density-based
+  * core/border/noise labeling itself.
   */
 object InertialQueries {
 
@@ -133,9 +135,54 @@ object InertialQueries {
     axisFiltfilt(spark, dir,
       Butterworth.design(5, Seq(0.5 / 64), Butterworth.Lowpass), "gravity")
 
+  /** Rounds of min-label propagation for grid-DBSCAN — the mirrored
+    * constant in the unrolled DuckDB oracle. Both engines compute the
+    * identical fixed-round function, so the gate is exact regardless of
+    * convergence; GridDbscanSpec asserts the rounds suffice (labels at
+    * R == labels at R+1) on the test corpora. */
+  private val DbscanRounds = 8
+
+  /** Deterministic clustered coordinates: 60% of events at a per-user
+    * HOME blob (1.2° spread), 20% at a WORK blob, 20% uniform scatter —
+    * all integer-lattice arithmetic (li/100-85 = lat), so DuckDB
+    * replays the exact coordinates. Yields genuine density structure:
+    * home cells are dense (core), work cells are borderline
+    * (core/border mix), scatter is noise. */
+  private def dbscanPoints(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("event_id") % 10
+    val li = when(m < 6,
+      lit(8000) + col("user_id") * 97 % 1000 + col("event_id") * 13 % 120)
+      .when(m < 8,
+        lit(3000) + col("user_id") * 53 % 1000 + col("event_id") * 17 % 120)
+      .otherwise(col("event_id") * 37 % 17000)
+    val lo = when(m < 6,
+      lit(20000) + col("user_id") * 61 % 1000 + col("event_id") * 19 % 120)
+      .when(m < 8,
+        lit(30000) + col("user_id") * 41 % 1000 + col("event_id") * 23 % 120)
+      .otherwise(col("event_id") * 73 % 36000)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), li.as("li"), lo.as("lo"))
+      .withColumn("cx", expr("li DIV 100") - 85) // 1° cells, lat axis
+      .withColumn("cy", expr("lo DIV 100") - 180)
+  }
+
+  /** Density-based `cluster_locations` (distribution.py:42-61): grid-
+    * DBSCAN per user over 1° cells with the reference's default
+    * min_samples = 1 + n/20 — the deterministic, partitionable
+    * replacement for HDBSCAN (see [[graft.operators.GridDbscan]]).
+    * Output: one row per point with its cluster label (min cell code of
+    * the component; -1 = noise) and core flag. */
+  def qLocationDbscan(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.GridDbscan
+      .label(dbscanPoints(spark, dir), "user_id", rounds = DbscanRounds)
+      .select(col("user_id"), col("event_id"), col("cluster"),
+        col("is_core"))
+      .orderBy(col("user_id"), col("event_id"))
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_accel" -> (qAccel _),
     "q_location_clusters" -> (qLocationClusters _),
+    "q_location_dbscan" -> (qLocationDbscan _),
     "q_linear_filter" -> (qLinearFilter _),
     "q_gravity_filter" -> (qGravityFilter _)
   )
@@ -164,7 +211,72 @@ object InertialQueries {
       |  idx0 + 1 AS t, round(y, 6) + 0.0 AS $outCol
       |FROM ff ORDER BY entity_id, axis, t""".stripMargin
 
+  /** q_location_dbscan oracle: the identical fixed-round min-label
+    * propagation, unrolled as [[DbscanRounds]] chained CTEs (the 8-
+    * neighborhood as a BETWEEN join — same neighbor set as the engine's
+    * offset explode). */
+  private def dbscanOracle: String = {
+    val rounds = (1 to DbscanRounds).map { r =>
+      s"""l$r AS (
+        |  SELECT t.user_id, t.cx, t.cy, min(s.label) AS label
+        |  FROM core t JOIN l${r - 1} s ON s.user_id = t.user_id
+        |    AND s.cx BETWEEN t.cx - 1 AND t.cx + 1
+        |    AND s.cy BETWEEN t.cy - 1 AND t.cy + 1
+        |  GROUP BY t.user_id, t.cx, t.cy)""".stripMargin
+    }.mkString(",\n")
+    val last = s"l$DbscanRounds"
+    s"""WITH pts AS (
+      |  SELECT user_id, event_id,
+      |    CASE WHEN event_id % 10 < 6
+      |           THEN 8000 + (user_id * 97) % 1000 + (event_id * 13) % 120
+      |         WHEN event_id % 10 < 8
+      |           THEN 3000 + (user_id * 53) % 1000 + (event_id * 17) % 120
+      |         ELSE (event_id * 37) % 17000 END AS li,
+      |    CASE WHEN event_id % 10 < 6
+      |           THEN 20000 + (user_id * 61) % 1000 + (event_id * 19) % 120
+      |         WHEN event_id % 10 < 8
+      |           THEN 30000 + (user_id * 41) % 1000 + (event_id * 23) % 120
+      |         ELSE (event_id * 73) % 36000 END AS lo
+      |  FROM events),
+      |cells0 AS (
+      |  SELECT user_id, event_id, li // 100 - 85 AS cx, lo // 100 - 180 AS cy
+      |  FROM pts),
+      |cells AS (
+      |  SELECT user_id, cx, cy, count(*) AS cnt FROM cells0 GROUP BY 1, 2, 3),
+      |tot AS (SELECT user_id, count(*) AS n FROM cells0 GROUP BY 1),
+      |core AS (
+      |  SELECT c.user_id, c.cx, c.cy,
+      |    ((c.cx + 1000000) * 2000000 + (c.cy + 1000000))::BIGINT AS label
+      |  FROM cells c JOIN tot t ON t.user_id = c.user_id
+      |  WHERE c.cnt >= 1 + t.n // 20),
+      |l0 AS (SELECT * FROM core),
+      |$rounds,
+      |nbmin AS (
+      |  SELECT l.user_id, l.cx + d.dx AS cx, l.cy + d.dy AS cy,
+      |    min(l.label) AS ml
+      |  FROM $last l CROSS JOIN (
+      |    SELECT a.dx, b.dy FROM (SELECT unnest([-1, 0, 1]) AS dx) a
+      |    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) b) d
+      |  GROUP BY 1, 2, 3),
+      |noncore AS (
+      |  SELECT cc.user_id, cc.cx, cc.cy FROM cells cc
+      |  ANTI JOIN core k ON k.user_id = cc.user_id AND k.cx = cc.cx
+      |    AND k.cy = cc.cy),
+      |cl AS (
+      |  SELECT user_id, cx, cy, label, true AS is_core FROM $last
+      |  UNION ALL
+      |  SELECT c.user_id, c.cx, c.cy,
+      |    coalesce(nb.ml, (-1)::BIGINT) AS label, false AS is_core
+      |  FROM noncore c LEFT JOIN nbmin nb ON nb.user_id = c.user_id
+      |    AND nb.cx = c.cx AND nb.cy = c.cy)
+      |SELECT p.user_id, p.event_id, cl.label AS cluster, cl.is_core
+      |FROM cells0 p JOIN cl ON cl.user_id = p.user_id AND cl.cx = p.cx
+      |  AND cl.cy = p.cy
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_location_dbscan" -> dbscanOracle,
     "q_linear_filter" -> axisFilterOracle(
       Butterworth.design(5, Seq(0.5 / 64), Butterworth.Highpass), "linear"),
     "q_gravity_filter" -> axisFilterOracle(
