@@ -59,6 +59,23 @@ object MHealth {
         else Qrs.rpeaksHamiltonTompkins(vs, fs)
       }.withColumnRenamed("out", "value")
 
+    /** fs inference (qrs.py:102): the reference's pandas adapter reads
+      * the spacing of the FIRST TWO index entries — fs = 1e9 / (t1 −
+      * t0) nanoseconds. Engine ts columns are numeric; pass the tick
+      * count per second (default micros). Returns one (entity, fs) row
+      * per entity. Quirk preserved: only the first gap is read, so an
+      * irregular series silently infers from its first interval. */
+    def inferFs(df: DataFrame, entityCol: String, tsCol: String,
+                ticksPerSecond: Double = 1e6): DataFrame = {
+      val win = w(entityCol, tsCol)
+      df.select(col(entityCol), col(tsCol))
+        .withColumn("__rn", row_number().over(win))
+        .where(col("__rn") <= 2)
+        .groupBy(col(entityCol))
+        .agg((lit(ticksPerSecond) /
+          (max(col(tsCol)) - min(col(tsCol)))).as("fs"))
+    }
+
     /** filter_pan_tompkins / filter_hamilton_tompkins (qrs.py:41-56,
       * 107-113): the QRS pre-filter chains. */
     def filterPanTompkins(df: DataFrame, entityCol: String, tsCol: String,

@@ -122,4 +122,18 @@ class ApiSpec extends SparkSpec {
       .where(col("ts") === 2).head().getAs[Double]("distance")
     assert(d > 10 && d < 12.5, s"0.1 deg lat should be ~11.1 km, got $d")
   }
+
+  test("QrsApi.inferFs reads the first-gap spacing per entity " +
+    "(qrs.py:102 semantics, irregular tail ignored)") {
+    // entity a: 8 ms spacing in micros => 125 Hz; entity b: 4 ms =>
+    // 250 Hz with an IRREGULAR later gap the reference would ignore too
+    val df = Seq(
+      ("a", 0L), ("a", 8000L), ("a", 16000L),
+      ("b", 0L), ("b", 4000L), ("b", 50000L))
+      .toDF("entity_id", "ts")
+    val fs = MHealth.QrsApi.inferFs(df, "entity_id", "ts")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fs("a") == 125.0, s"a: ${fs("a")}")
+    assert(fs("b") == 250.0, s"b: ${fs("b")}")
+  }
 }
