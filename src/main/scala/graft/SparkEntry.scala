@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.SignalQueries.all ++
       graft.queries.InertialQueries.all ++
       graft.queries.FractalQueries.all ++
-      graft.queries.RqaQueries.all
+      graft.queries.RqaQueries.all ++
+      graft.queries.StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.SignalQueries.oracle ++
       graft.queries.InertialQueries.oracle ++
       graft.queries.FractalQueries.oracle ++
-      graft.queries.RqaQueries.oracle
+      graft.queries.RqaQueries.oracle ++
+      graft.queries.StreamQueries.oracle
 }

@@ -28,4 +28,42 @@ class ShuffleTallySpec extends SparkSpec {
     assert(mapOnly.shuffleWriteBytes == 0,
       s"map-only job tallied shuffle bytes: $mapOnly")
   }
+
+  /** Shuffle-byte regression budget for the top shuffle consumers at
+    * sf0.01 (the driver's gate scale): center = bytes measured on the
+    * round-4 plans, envelope ±20% plus a 0.5 MB absolute floor for the
+    * small ones (AQE/row-group jitter). An added exchange or a
+    * candidate-generation blowup fails HERE, deterministically, instead
+    * of hiding in bench wall-time noise. */
+  private val budgetsMb: Map[String, Double] = Map(
+    "q_minhash_lsh" -> 2.06,
+    "q_simhash" -> 0.14,
+    "q_geo_pairs" -> 0.17,
+    "q_rqa_lengths" -> 0.31,
+    "q_feature_pipeline" -> 0.69)
+
+  test("top-shuffle queries stay inside their byte envelopes at sf0.01") {
+    val sf = "/root/testdata/sf0.01"
+    val tally = ShuffleTally.install(spark.sparkContext)
+    val got = budgetsMb.keys.toSeq.sorted.map { name =>
+      val fn = SparkEntry.queries(name)
+      val (_, d) = tally.measure(spark.sparkContext) {
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+      }
+      graft.core.Caches.drain()
+      name -> d.shuffleWriteBytes / 1e6
+    }
+    val failures = got.flatMap { case (name, mb) =>
+      val center = budgetsMb(name)
+      val tol = math.max(center * 0.2, 0.5)
+      if (mb > center + tol)
+        Some(f"$name: $mb%.2f MB > ${center + tol}%.2f MB budget")
+      else if (mb < center - tol)
+        Some(f"$name: $mb%.2f MB < ${center - tol}%.2f MB — plan " +
+          "changed, re-center the budget")
+      else None
+    }
+    got.foreach { case (n, mb) => info(f"$n: $mb%.2f MB shuffle write") }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
 }
