@@ -111,7 +111,13 @@ object Bench {
         rows = runs.head._1
         val times = runs.map(_._2).sorted
         (times(times.length / 2), runs.map(_._2))
-      } finally s.stop()
+      } finally {
+        // drain inside THIS session before it stops (reps deliberately
+        // share the warmed stage-1 cache — same methodology as r3 — but
+        // stale registry entries must never reach a later session's drain)
+        graft.core.Caches.drain()
+        s.stop()
+      }
     }
     val levels = ladder.map(c => c -> measure(c))
     def tput(c: Int): Double = rows / levels.toMap.apply(c)._1

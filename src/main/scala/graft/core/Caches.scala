@@ -39,11 +39,15 @@ object Caches {
 
   /** Unpersist every cache registered since the last drain. Non-blocking:
     * block eviction proceeds asynchronously; the plans are already
-    * de-registered from the cache manager synchronously. */
+    * de-registered from the cache manager synchronously. Entries whose
+    * owning session has already stopped (Bench's scaling ladder spins
+    * up and tears down whole sessions) are skipped — their cache died
+    * with the session. */
   def drain(): Unit = {
     var d = live.poll()
     while (d != null) {
-      d.unpersist(blocking = false)
+      try d.unpersist(blocking = false)
+      catch { case _: Throwable => () } // session gone — nothing to free
       d = live.poll()
     }
   }

@@ -18,22 +18,28 @@ import org.apache.spark.sql.functions._
   *  - points in non-core cells attach to the minimum label among
   *    adjacent core cells (border points), else label -1 (noise).
   *
-  * Components are computed by `rounds` fixed iterations of min-label
-  * propagation over the 8-neighbor graph — each round one equi-join +
-  * one partial-aggregated groupBy on (entity, cx, cy), both
-  * shuffle-partitionable at any scale (the cell table is bounded by
-  * the occupied-cell count, orders of magnitude below the point
-  * count). A FIXED round count keeps the operator a pure function of
-  * its input — no driver-side convergence loop — and `rounds` bounds
-  * the reachable component diameter: location data clusters in
-  * few-cell blobs (GridDbscanSpec asserts convergence on the test
-  * corpus), and any caller can raise it. The default minPts mirrors
-  * the reference's min_samples = 1 + n/20.
+  * Plan shape: ONE aggregation rolls points up to (entity, cell,
+  * count); a second collects each entity's occupied cells into an
+  * array; the `rounds` fixed iterations of min-label propagation then
+  * run INSIDE the row as nested array HOFs (per-entity local
+  * clustering — zero shuffles, zero iterative joins), and one explode
+  * + equi-join carries cell labels back to the points. Three exchanges
+  * total, independent of `rounds` (the first cut of this operator
+  * joined per round — ~20 tiny-data shuffle stages whose fixed
+  * overheads dominated wall time). The in-row pass is O(cells² ×
+  * rounds) per entity; occupied-CELL count per entity is orders of
+  * magnitude below its point count for location data (choose eps so it
+  * stays so — a coarser grid is the scale lever, exactly as in
+  * production grid clustering).
+  *
+  * A FIXED round count keeps the operator a pure function of its input
+  * — no driver-side convergence loop — and bounds the reachable
+  * component diameter: location data clusters in few-cell blobs
+  * (GridDbscanSpec asserts convergence on the test corpus), and any
+  * caller can raise it. The default minPts mirrors the reference's
+  * min_samples = 1 + n/20.
   */
 object GridDbscan {
-
-  private val offsets: Seq[(Int, Int)] =
-    for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
 
   /** Canonical cell code — injective and NON-NEGATIVE for |cx|, |cy|
     * < 1e6 (lat/lon cells are hundreds at most), so the -1 noise
@@ -41,6 +47,10 @@ object GridDbscan {
     * unshifted cx*K + cy would make cell (0,-1) encode to exactly -1). */
   private def code(cx: Column, cy: Column): Column =
     (cx.cast("long") + 1000000L) * 2000000L + (cy.cast("long") + 1000000L)
+
+  private def adjacent(a: Column, b: Column): Column =
+    abs(a.getField("cx") - b.getField("cx")) <= 1 &&
+      abs(a.getField("cy") - b.getField("cy")) <= 1
 
   /** Label every point of `pts` (columns: entityCol, cx, cy — extra
     * columns pass through) with (cluster, is_core). `minPts` None →
@@ -50,59 +60,54 @@ object GridDbscan {
     val e = col(entityCol)
     val cells = pts.groupBy(e, col("cx"), col("cy"))
       .agg(count(lit(1)).as("cnt"))
+    val packed = cells
+      .groupBy(e)
+      .agg(collect_list(struct(col("cx"), col("cy"), col("cnt")))
+        .as("cs"), sum(col("cnt")).as("n_total"))
     val minExpr: Column = minPts match {
       case Some(k) => lit(k.toLong)
-      case None =>
-        // reference default min_samples = 1 + len(df)//20
-        lit(1L) + col("n_total").cast("long").divide(20).cast("long")
+      case None => lit(1L) + (col("n_total") / 20).cast("long")
     }
-    val withTotals = minPts match {
-      case Some(_) => cells
-      case None =>
-        val totals = pts.groupBy(e).agg(count(lit(1)).as("n_total"))
-        cells.join(totals, Seq(entityCol))
+    // core cells with their initial canonical labels — the array the
+    // in-row propagation iterates over
+    val core0 = filter(col("cs"), c => c.getField("cnt") >= col("__minPts"))
+    val withCore = packed
+      .withColumn("__minPts", minExpr)
+      .withColumn("core", transform(core0, c =>
+        struct(c.getField("cx").as("cx"), c.getField("cy").as("cy"),
+          code(c.getField("cx"), c.getField("cy")).as("label"))))
+    // fixed-round min-label propagation, entirely inside the row:
+    // label(c) = min label over adjacent core cells (self included)
+    val propagated = (1 to rounds).foldLeft(withCore) { (df, _) =>
+      df.withColumn("core", transform(col("core"), c =>
+        struct(c.getField("cx").as("cx"), c.getField("cy").as("cy"),
+          aggregate(filter(col("core"), o => adjacent(o, c)),
+            c.getField("label"),
+            (acc, o) => least(acc, o.getField("label"))).as("label"))))
     }
-    val core0 = withTotals.where(col("cnt") >= minExpr)
-      .select(e, col("cx"), col("cy"),
-        code(col("cx"), col("cy")).as("label"))
-
-    val off = explode(array(offsets.map { case (dx, dy) =>
-      struct(lit(dx).as("dx"), lit(dy).as("dy"))
-    }: _*)).as("o")
-    // neighbor-min table, keyed back on (entity, cx, cy) target names so
-    // the propagation join is a plain using-columns equi-join (no
-    // self-join attribute ambiguity)
-    def neighborMin(src: DataFrame): DataFrame = src
-      .select(e, col("cx"), col("cy"), col("label"), off)
-      .select(e, (col("cx") + col("o.dx")).as("tx"),
-        (col("cy") + col("o.dy")).as("ty"), col("label"))
-      .groupBy(e, col("tx"), col("ty"))
-      .agg(min(col("label")).as("ml"))
-      .withColumnRenamed("tx", "cx").withColumnRenamed("ty", "cy")
-
-    // fixed-round min-label propagation among core cells ((0,0) offset
-    // included, so every core cell sees its own label each round)
-    var lab = core0
-    for (_ <- 1 to rounds)
-      lab = lab.select(e, col("cx"), col("cy"))
-        .join(neighborMin(lab), Seq(entityCol, "cx", "cy"))
-        .select(e, col("cx"), col("cy"), col("ml").as("label"))
-
-    // the final labels feed BOTH the core-point path and the border
-    // path — cache the (tiny) cell-label table for the one pass
-    val labC = graft.core.Caches.cached(lab)
-    val borderMin = neighborMin(labC)
-    val nonCore = cells.select(e, col("cx"), col("cy"))
-      .join(core0.select(e, col("cx"), col("cy")),
-        Seq(entityCol, "cx", "cy"), "left_anti")
-    val cellLabels = labC
-      .select(e, col("cx"), col("cy"), col("label"),
-        lit(true).as("is_core"))
-      .union(nonCore
-        .join(borderMin, Seq(entityCol, "cx", "cy"), "left")
-        .select(e, col("cx"), col("cy"),
-          coalesce(col("ml"), lit(-1L)).as("label"),
-          lit(false).as("is_core")))
+    // per-cell final labels: core cells carry their component label;
+    // non-core cells borrow the min label of an adjacent core cell
+    // (border) or -1 (noise)
+    val cellLabels = propagated.select(e,
+      explode(transform(col("cs"), c => {
+        val same = filter(col("core"), o =>
+          o.getField("cx") === c.getField("cx") &&
+            o.getField("cy") === c.getField("cy"))
+        val adjCore = filter(col("core"), o => adjacent(o, c))
+        val isCore = size(same) > 0
+        // a CORE cell keeps its own round-R label (one more neighbor
+        // min here would silently be round R+1 and diverge from the
+        // oracle's unrolled CTEs on non-converged inputs)
+        struct(c.getField("cx").as("cx"), c.getField("cy").as("cy"),
+          when(isCore, element_at(same, 1).getField("label"))
+            .when(size(adjCore) > 0,
+              aggregate(adjCore, lit(Long.MaxValue),
+                (acc, o) => least(acc, o.getField("label"))))
+            .otherwise(lit(-1L)).as("label"),
+          isCore.as("is_core"))
+      })).as("cl"))
+      .select(e, col("cl.cx").as("cx"), col("cl.cy").as("cy"),
+        col("cl.label").as("label"), col("cl.is_core").as("is_core"))
     pts.join(cellLabels, Seq(entityCol, "cx", "cy"), "left")
       .withColumn("cluster", coalesce(col("label"), lit(-1L)))
       .withColumn("is_core", coalesce(col("is_core"), lit(false)))
