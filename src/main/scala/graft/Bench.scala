@@ -142,7 +142,12 @@ object Bench {
     // that survives host noise: an added exchange shows as a bytes jump
     // even when wall time doesn't move reliably
     val tally = graft.core.ShuffleTally.install(sHigh.sparkContext)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_QUERIES=0 => ladder-only run (repeat-ladder /
+    // scale-step sessions, where the 60-query battery is dead time)
+    val runQueries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
+    val results = (if (runQueries) SparkEntry.queries.toSeq.sortBy(_._1)
+                   else Nil).map { case (name, fn) =>
       def one(): Double = {
         val t0 = System.nanoTime()
         try { materialize(fn(sHigh, sfDir)) }
