@@ -64,7 +64,13 @@ object MHealth {
       * t0) nanoseconds. Engine ts columns are numeric; pass the tick
       * count per second (default micros). Returns one (entity, fs) row
       * per entity. Quirk preserved: only the first gap is read, so an
-      * irregular series silently infers from its first interval. */
+      * irregular series silently infers from its first interval.
+      * (Engine reads the first two rows in TS order — the reference
+      * reads positional index order; identical whenever the input is
+      * time-sorted, which is the engine's per-entity contract.)
+      * Entities with fewer than two rows, or whose first two ts values
+      * coincide (gap 0 — fs would be a division by zero), emit NO row
+      * rather than a null/Inf fs. */
     def inferFs(df: DataFrame, entityCol: String, tsCol: String,
                 ticksPerSecond: Double = 1e6): DataFrame = {
       val win = w(entityCol, tsCol)
@@ -72,8 +78,11 @@ object MHealth {
         .withColumn("__rn", row_number().over(win))
         .where(col("__rn") <= 2)
         .groupBy(col(entityCol))
-        .agg((lit(ticksPerSecond) /
-          (max(col(tsCol)) - min(col(tsCol)))).as("fs"))
+        .agg(count(lit(1)).as("__cnt"),
+          (max(col(tsCol)) - min(col(tsCol))).as("__gap"))
+        .where(col("__cnt") === 2 && col("__gap") =!= 0)
+        .select(col(entityCol),
+          (lit(ticksPerSecond) / col("__gap")).as("fs"))
     }
 
     /** filter_pan_tompkins / filter_hamilton_tompkins (qrs.py:41-56,
@@ -372,11 +381,12 @@ object MHealth {
     def clusterLocations(df: DataFrame, entityCol: String,
                          latCol: String, lonCol: String,
                          epsDeg: Double = 1.0,
-                         minPts: Option[Int] = None): DataFrame =
+                         minPts: Option[Int] = None,
+                         rounds: Int = 8): DataFrame =
       graft.operators.GridDbscan.label(
         df.withColumn("cx", floor(col(latCol) / epsDeg).cast("long"))
           .withColumn("cy", floor(col(lonCol) / epsDeg).cast("long")),
-        entityCol, minPts)
+        entityCol, minPts, rounds)
         .drop("cx", "cy")
   }
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var lastSink: Option[(SparkSession, String)] = None
 
   /** Exact dedup THROUGH THE STREAMING ENGINE: the documents table is
@@ -30,14 +31,17 @@ object StreamQueries {
     * (watermarked dropDuplicatesWithinWatermark, horizon-bounded
     * state) is the StreamOps.dedupStream dual, spec-verified. */
   def qDedupStream(spark: SparkSession, dir: String): DataFrame = {
-    // fixed per-process staging root, cleared up front (Bench re-runs
-    // each query; the replay chunks must not accrete)
+    // invocation-keyed staging dir under a fixed per-process parent;
+    // the parent is cleared only when THIS is the sole live invocation
+    // (Bench re-runs must not accrete chunks, but a concurrent
+    // invocation's in-flight replay dir must not be yanked either)
+    val seq = sinkSeq.incrementAndGet()
     val root = {
-      val p = new org.apache.hadoop.fs.Path(
+      val parent = new org.apache.hadoop.fs.Path(
         System.getProperty("java.io.tmpdir"), "graft_dedup_stream")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
-      p.toString
+      val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (active.incrementAndGet() == 1) fs.delete(parent, true)
+      new org.apache.hadoop.fs.Path(parent, s"run_$seq").toString
     }
     Tables.documents(spark, dir).repartition(8)
       .write.mode("overwrite").parquet(s"$root/in")
@@ -51,14 +55,21 @@ object StreamQueries {
     // unique memory-sink name per invocation (the returned DataFrame
     // stays lazily readable after this builder returns); the previous
     // invocation's sink view is dropped so repeated runs don't accrete
-    lastSink.foreach { case (s, n) => s.catalog.dropTempView(n) }
-    val name = s"graft_dedup_stream_${sinkSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // — but only while its owning session is still alive (a stopped
+    // ladder session's catalog throws; its view died with the session)
+    lastSink.foreach { case (s, n) =>
+      if (!s.sparkContext.isStopped)
+        try s.catalog.dropTempView(n) catch { case _: Throwable => () }
+    }
+    val name = s"graft_dedup_stream_$seq"
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally active.decrementAndGet()
     lastSink = Some((spark, name))
     spark.table(name).orderBy(col("content_hash"))
   }

@@ -84,6 +84,48 @@ class DedupSpec extends SparkSpec {
       s"${reps.size} distinct fps over ${ids.size} docs — components equal")
   }
 
+  test("simhash64 output is sound, lossless at the distinct-fingerprint " +
+    "level, and component-equivalent to brute force at Hamming <= 3") {
+    val fps = DedupQueries.simhash64Fingerprints(
+      graft.core.Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = DedupQueries.qSimhash64(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(r.fieldIndex("a_id")),
+      r.getLong(r.fieldIndex("b_id")))).toSet
+    // soundness: every emitted pair is a true Hamming <= 3 pair
+    got.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+      assert(d <= 3, s"pair ($a,$b) at hamming $d")
+    }
+    // rep-level losslessness: 4 disjoint 16-bit bands pigeonhole every
+    // distance <= 3 pair into >= 1 shared band — banding over distinct
+    // fingerprints may never lose a close pair of representatives
+    val reps = fps.groupBy(_._2).map { case (_, m) => m.keys.min }.toSeq.sorted
+    for (i <- reps.indices; j <- i + 1 until reps.length) {
+      val (a, b) = (reps(i), reps(j))
+      if (java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3)
+        assert(got.contains((a, b)), s"banding lost rep pair ($a,$b)")
+    }
+    // every non-rep doc reaches its representative at distance 0
+    fps.groupBy(_._2).values.filter(_.size > 1).foreach { m =>
+      val rep = m.keys.min
+      m.keys.filter(_ != rep).foreach(d =>
+        assert(got.contains((rep, d)), s"member $d lost its rep link"))
+    }
+    // …therefore components equal the uncapped all-pairs graph's
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      if java.lang.Long.bitCount(fps(ids(i)) ^ fps(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    assert(components(ids, got) == components(ids, brute),
+      "capped output changed the dedup components")
+    assert(brute.nonEmpty, "test corpus has no 64-bit near-dups — " +
+      "the guarantee was checked vacuously")
+    info(s"${got.size} pairs vs ${brute.size} brute-force pairs, " +
+      s"${reps.size} distinct fps over ${ids.size} docs — components equal")
+  }
+
   test("exact-fingerprint collapse: a degenerate 1000-identical-doc " +
     "corpus yields exactly n-1 representative links on both paths") {
     import org.apache.spark.sql.functions._

@@ -105,7 +105,8 @@ class PlanSpec extends SparkSpec {
   test("MinHash/SimHash candidate generation stays on equi-joins " +
     "(banded keys), never a nested-loop scan") {
     Seq("q_minhash_lsh" -> graft.queries.DedupQueries.qMinhashLsh _,
-      "q_simhash" -> graft.queries.DedupQueries.qSimhash _)
+      "q_simhash" -> graft.queries.DedupQueries.qSimhash _,
+      "q_simhash64" -> graft.queries.DedupQueries.qSimhash64 _)
       .foreach { case (name, fn) =>
         val plan = planOf(fn(spark, sf))
         assert(!plan.contains("BroadcastNestedLoopJoin") &&

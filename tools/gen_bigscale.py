@@ -27,10 +27,24 @@ con = duckdb.connect()
 import os
 os.makedirs(OUT, exist_ok=True)
 
+
+def shift(table, col):
+    """Replica stride = max(id)+1 from the SOURCE parquet, so replica id
+    ranges can never overlap regardless of how sf0.1 is regenerated
+    (hard-coded strides silently collide if the source grows)."""
+    return con.sql(
+        f"SELECT max({col}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+
+EV_SHIFT = shift("events", "event_id")
+USER_SHIFT = shift("events", "user_id")
+DOC_SHIFT = shift("documents", "doc_id")
+VEC_SHIFT = shift("embeddings", "vec_id")
+
 con.sql(f"""
 COPY (
-  SELECT event_id + k.k * 100000 AS event_id, ts,
-         user_id + k.k * 1500 AS user_id, event_type, value, props
+  SELECT event_id + k.k * {EV_SHIFT} AS event_id, ts,
+         user_id + k.k * {USER_SHIFT} AS user_id, event_type, value, props
   FROM '{SRC}/events.parquet'
   CROSS JOIN (SELECT unnest(range({K})) AS k) k
   ORDER BY user_id, event_id
@@ -38,7 +52,7 @@ COPY (
 """)
 con.sql(f"""
 COPY (
-  SELECT doc_id + k.k * 5000 AS doc_id, * EXCLUDE (doc_id)
+  SELECT doc_id + k.k * {DOC_SHIFT} AS doc_id, * EXCLUDE (doc_id)
   FROM '{SRC}/documents.parquet'
   CROSS JOIN (SELECT unnest(range({K})) AS k) k
   ORDER BY doc_id
@@ -46,7 +60,7 @@ COPY (
 """)
 con.sql(f"""
 COPY (
-  SELECT vec_id + k.k * 2000 AS vec_id, * EXCLUDE (vec_id)
+  SELECT vec_id + k.k * {VEC_SHIFT} AS vec_id, * EXCLUDE (vec_id)
   FROM '{SRC}/embeddings.parquet'
   CROSS JOIN (SELECT unnest(range({K})) AS k) k
   ORDER BY vec_id
