@@ -103,14 +103,40 @@ object Bench {
     val ladder = sys.env.getOrElse("SPARK_GRAFT_BENCH_LADDER", "2,8,32")
       .split(",").map(_.trim.toInt).toSeq
     var rows = 0L
-    def measure(cores: Int): (Double, Seq[Double]) = {
+
+    // host-noise instrumentation (round-5 noise rule — see BASELINE.md
+    // "Noise discipline"): co-tenant steal time is the dominant
+    // variance source on this host, so each ladder leg records the
+    // hypervisor steal fraction over its timed region, and the whole
+    // ladder is ACCEPTED only if every leg's relative spread
+    // (max−min)/median over its reps stays within SpreadMax — a
+    // rejected ladder is published with its raw runs but must not be
+    // read as a performance signal.
+    val SpreadMax = 0.35
+    def cpuTicks(): (Long, Long) = {
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.lift(7).getOrElse(0L), f.sum) // (steal, total) ticks
+      } catch { case _: Throwable => (0L, 1L) }
+    }
+
+    final case class Leg(median: Double, runs: Seq[Double],
+                         stealPct: Double) {
+      def spread: Double = (runs.max - runs.min) / median
+    }
+
+    def measure(cores: Int): Leg = {
       val s = session(cores)
       try {
         flagshipSecs(s, tokensPath) // warm-up, discarded
+        val (st0, tt0) = cpuTicks()
         val runs = (1 to reps).map(_ => flagshipSecs(s, tokensPath))
+        val (st1, tt1) = cpuTicks()
         rows = runs.head._1
         val times = runs.map(_._2).sorted
-        (times(times.length / 2), runs.map(_._2))
+        Leg(times(times.length / 2), runs.map(_._2),
+          100.0 * (st1 - st0) / math.max(1L, tt1 - tt0))
       } finally {
         // drain inside THIS session before it stops (reps deliberately
         // share the warmed stage-1 cache — same methodology as r3 — but
@@ -120,17 +146,18 @@ object Bench {
       }
     }
     val levels = ladder.map(c => c -> measure(c))
-    def tput(c: Int): Double = rows / levels.toMap.apply(c)._1
+    val ladderAccepted = levels.forall(_._2.spread <= SpreadMax)
+    def tput(c: Int): Double = rows / levels.toMap.apply(c).median
     val effPairs = ladder.sliding(2).collect { case Seq(a, b) =>
       (a, b, (tput(b) / tput(a)) / (b.toDouble / a))
     }.toSeq
     val tputHigh = tput(ladder.last)
     val eff = effPairs.head._3 // headline: the first (lowest) pair
-    val secsLow = levels.head._2._1
-    val secsHigh = levels.last._2._1
+    val secsLow = levels.head._2.median
+    val secsHigh = levels.last._2.median
     val tputLow = tput(ladder.head)
-    val runsLow = levels.head._2._2
-    val runsHigh = levels.last._2._2
+    val runsLow = levels.head._2.runs
+    val runsHigh = levels.last._2.runs
     val sHigh = session(cpus)
 
     // --- per-query timings on the driver's sf dir ---
@@ -214,14 +241,16 @@ object Bench {
       }
 
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    val ladderJson = levels.map { case (c, (med, runs)) =>
-      f"""{"cores":$c,"secs_median":$med%.2f,"runs":${arr(runs)},"tput":${rows / med}%.1f}"""
+    val ladderJson = levels.map { case (c, leg) =>
+      f"""{"cores":$c,"secs_median":${leg.median}%.2f,"runs":${arr(leg.runs)},"tput":${rows / leg.median}%.1f,"spread":${leg.spread}%.3f,"steal_pct":${leg.stealPct}%.2f}"""
     }.mkString("[", ",", "]")
     val effJson = effPairs.map { case (a, b, e) =>
       f""""eff_${a}_$b":$e%.3f"""
     }.mkString(",")
+    val noiseJson =
+      s""""noise_rule":"reject ladder if any leg (max-min)/median > $SpreadMax; headline instrument = the 3x scale step (see BASELINE.md)","ladder_accepted":$ladderAccepted"""
     println(
-      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"queries_shuffle_mb":$qsShuffle,"queries_spill_mb":$qsSpill,"scaling":{"rows":$rows,"cores_low":${ladder.head},"cores_high":${ladder.last},"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f,"efficiency_pair":"${ladder.head}->${ladder(1 min (ladder.length - 1))} cores (N->4N, pre-bandwidth-saturation; see BASELINE.md)",$effJson,"ladder":$ladderJson}$serviceJson}""")
+      f"""{"metric":"feature_vectors_per_sec","value":$tputHigh%.1f,"unit":"rows/sec","sf":"$sfDir","queries":$qs,"queries_warm":$qsWarm,"queries_shuffle_mb":$qsShuffle,"queries_spill_mb":$qsSpill,"scaling":{"rows":$rows,"cores_low":${ladder.head},"cores_high":${ladder.last},"secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,"runs_low":${arr(runsLow)},"runs_high":${arr(runsHigh)},"tput_low":$tputLow%.1f,"tput_high":$tputHigh%.1f,"efficiency":$eff%.3f,"efficiency_pair":"${ladder.head}->${ladder(1 min (ladder.length - 1))} cores (N->4N, pre-bandwidth-saturation; see BASELINE.md)",$effJson,$noiseJson,"ladder":$ladderJson}$serviceJson}""")
     sHigh.stop()
   }
 }

@@ -19,5 +19,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinNative.AsOfStrategy)
+    // pruning through the as-of node: injected into the operator-
+    // optimization fixed point, so ColumnPruning propagates the pushed
+    // Projects down to the scans (see PruneAsOfChildren scaladoc)
+    ext.injectOptimizerRule(_ =>
+      graft.plans.AsOfJoinNative.PruneAsOfChildren)
   }
 }

@@ -26,12 +26,19 @@ object Tables {
     * [[copyTo]] writes (schema inference is nondeterministic and scans
     * the data twice — never used). Timestamps round-trip at full
     * microsecond precision via explicit format options. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    sys.env.get("GRAFT_ICEBERG_CATALOG") match {
-      case Some(cat) =>
-        val db = sys.env.getOrElse("GRAFT_ICEBERG_DB", "graft")
-        spark.read.table(s"$cat.$db.$name")
-      case None =>
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // catalog resolution: session conf `graft.catalog` first (testable
+    // per-session — SourcesSinksSpec round-trips through a real DSv2
+    // catalog, graft.core.GraftParquetCatalog), env var second (how a
+    // spark-submit job ships the Iceberg catalog name cluster-wide)
+    val cat = spark.conf.get("graft.catalog",
+      sys.env.getOrElse("GRAFT_ICEBERG_CATALOG", ""))
+    cat match {
+      case c if c.nonEmpty =>
+        val db = spark.conf.get("graft.catalog.db",
+          sys.env.getOrElse("GRAFT_ICEBERG_DB", "graft"))
+        spark.read.table(s"$c.$db.$name")
+      case _ =>
         spark.conf.get("graft.source.format", "parquet") match {
           case "parquet" => spark.read.parquet(s"$sfDir/$name.parquet")
           case "orc" => spark.read.orc(s"$sfDir/$name.orc")
@@ -54,6 +61,7 @@ object Tables {
               s"unsupported graft.source.format: $other")
         }
     }
+  }
 
   /** Micro-precision timestamp round-trip for the text formats (the
     * defaults truncate to millis). */

@@ -8,14 +8,24 @@ import org.apache.spark.sql.functions._
   * BINARY columns with typed metadata; decode / frame-sample /
   * feature-extract run as per-partition batch kernels over the bytes.
   *
-  * The DECODE step is a clearly-marked deterministic FAKE (no
-  * image/audio codecs ship in this environment): a 16-byte header
-  * (magic, width, height, n_frames) followed by w·h bytes per frame,
-  * all generated by splitmix64 — so schema, partitioning, batch shape,
-  * and the kernel plumbing are real and tested end-to-end while the
-  * codec is swappable. At cluster scale this is the mapInPandas /
-  * mapPartitions pattern: one kernel invocation per batch of rows, no
-  * per-row interpreter crossings, payload never leaves the executor.
+  * TWO codecs sit behind one [[decode]] dispatch (by magic bytes):
+  *
+  *  - the GRFT FAKE — a clearly-marked deterministic stand-in (16-byte
+  *    header: magic, width, height, n_frames; then w·h bytes per
+  *    frame, all splitmix64-generated). It exists because the fake is
+  *    bit-replayable in the DuckDB oracle (q_media_*), which a real
+  *    codec's output cannot be; and
+  *  - a REAL image decode via JDK `javax.imageio` (PNG/BMP/GIF — no
+  *    external dependency): one frame of integer luma pixels
+  *    (ITU-R BT.601 integer weights, exact arithmetic), exercised by
+  *    MultimodalSpec on a PNG built and decoded in-process.
+  *
+  * Everything downstream of [[decode]] — frame sampling, features,
+  * 2×2 resize, the mapPartitions batch shape — is shared by both, so
+  * the plumbing the oracles verify is the plumbing real images run
+  * through. At cluster scale this is the mapInPandas / mapPartitions
+  * pattern: one kernel invocation per batch of rows, no per-row
+  * interpreter crossings, payload never leaves the executor.
   */
 object Multimodal {
 
@@ -61,10 +71,66 @@ object Multimodal {
     spark.range(nDocs).map(makeBlob(_))
   }
 
-  /** "Decode" + frame-sample + per-frame features, as a partition-batch
+  /** Decoded media: one integer pixel plane (row-major, 0–255) per
+    * frame — the shared contract between the codecs and the feature /
+    * resize kernels. */
+  final case class DecodedMedia(w: Int, h: Int, frames: Array[Array[Int]])
+
+  /** Codec dispatch by container magic: the GRFT deterministic fake
+    * (oracle-replayable) or a real `javax.imageio` decode (PNG/BMP/
+    * GIF). Runs inside the partition kernels — per-batch, executor-
+    * local, payload never serialized back out. */
+  def decode(d: MediaDoc): DecodedMedia = {
+    val b = d.media
+    if (b.length >= 16 && b(0) == 'G' && b(1) == 'R' && b(2) == 'F' &&
+      b(3) == 'T') decodeFake(b)
+    else if (isImage(b)) decodeImage(b, d.doc_id)
+    else throw new IllegalArgumentException(
+      s"unknown media container in ${d.doc_id}")
+  }
+
+  private def decodeFake(b: Array[Byte]): DecodedMedia = {
+    val w = u8(b(4))
+    val h = u8(b(8))
+    val n = u8(b(12))
+    DecodedMedia(w, h, Array.tabulate(n)(f =>
+      Array.tabulate(w * h)(i => u8(b(16 + f * w * h + i)))))
+  }
+
+  private def isImage(b: Array[Byte]): Boolean =
+    b.length >= 8 &&
+      ((u8(b(0)) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 'B' && b(1) == 'M') ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F'))
+
+  /** Real single-frame image decode (JDK ImageIO — no external deps):
+    * pixels become integer luma via the ITU-R BT.601 weights in exact
+    * integer arithmetic, (299·R + 587·G + 114·B) / 1000. */
+  def decodeImage(b: Array[Byte], id: String): DecodedMedia = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"imageio could not decode $id")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val bl = rgb & 0xff
+        px(y * w + x) = (299 * r + 587 * g + 114 * bl) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    DecodedMedia(w, h, Array(px))
+  }
+
+  /** Decode + frame-sample + per-frame features, as a partition-batch
     * kernel (the mapInPandas shape). `frameStride` samples every k-th
-    * frame. The decode (header parse + frame slicing) is the STUB —
-    * swap for a real codec; everything around it is production-shaped. */
+    * frame. */
   def frameFeatures(docs: Dataset[MediaDoc], frameStride: Int = 1)
                    (implicit spark: SparkSession): Dataset[FrameFeature] = {
     import spark.implicits._
@@ -93,16 +159,12 @@ object Multimodal {
 
   def resizedFeaturesOf(d: MediaDoc, frameStride: Int)
   : Iterator[ResizedFrame] = {
-    val b = d.media
-    require(b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T',
-      s"bad magic in ${d.doc_id}")
-    val w = u8(b(4))
-    val h = u8(b(8))
-    val frames = u8(b(12))
-    val w2 = w / 2
-    val h2 = h / 2
-    (0 until frames by frameStride).iterator.map { f =>
-      val off = 16 + f * w * h
+    val m = decode(d)
+    val w = m.w
+    val w2 = m.w / 2
+    val h2 = m.h / 2
+    (0 until m.frames.length by frameStride).iterator.map { f =>
+      val px = m.frames(f)
       var sum4 = 0L // Σ of the 4-px cell sums = integer checksum
       var mx = 0.0
       var s = 0.0
@@ -110,9 +172,8 @@ object Multimodal {
       while (cy < h2) {
         var cx = 0
         while (cx < w2) {
-          val p = off + (2 * cy) * w + 2 * cx
-          val cell = u8(b(p)) + u8(b(p + 1)) + u8(b(p + w)) +
-            u8(b(p + w + 1))
+          val p = (2 * cy) * w + 2 * cx
+          val cell = px(p) + px(p + 1) + px(p + w) + px(p + w + 1)
           val pooled = cell / 4.0
           sum4 += cell
           s += pooled
@@ -130,26 +191,22 @@ object Multimodal {
     * oracle truth dump). */
   def frameFeaturesOf(d: MediaDoc, frameStride: Int)
   : Iterator[FrameFeature] = {
-    val b = d.media
-    require(b(0) == 'G' && b(1) == 'R' && b(2) == 'F' && b(3) == 'T',
-      s"bad magic in ${d.doc_id}")
-    val w = u8(b(4))
-    val h = u8(b(8))
-    val frames = u8(b(12))
-    (0 until frames by frameStride).iterator.map { f =>
-      val off = 16 + f * w * h
+    val m = decode(d)
+    val n = m.w * m.h
+    (0 until m.frames.length by frameStride).iterator.map { f =>
+      val px = m.frames(f)
       var s = 0L
       var mx = 0
       var hsh = 1469598103934665603L // FNV-1a
       var i = 0
-      while (i < w * h) {
-        val v = u8(b(off + i))
+      while (i < n) {
+        val v = px(i)
         s += v
         if (v > mx) mx = v
         hsh = (hsh ^ v) * 1099511628211L
         i += 1
       }
-      FrameFeature(d.doc_id, f, w, h, s.toDouble / (w * h), mx, hsh)
+      FrameFeature(d.doc_id, f, m.w, m.h, s.toDouble / n, mx, hsh)
     }
   }
 }

@@ -55,14 +55,60 @@ object AsOfJoinNative {
         .filterNot(a => a.name == entityName || a.name == tsName)
         .map(_.withNullability(true))
     // name-based keys leave `expressions` empty; claim every child
-    // column so ColumnPruning's generic clause cannot strip the keys
-    // (callers project the inputs down before joining)
+    // column so ColumnPruning's generic clause cannot strip the keys.
+    // Catalyst can therefore not prune THROUGH this node on its own —
+    // [[PruneAsOfChildren]] (registered wherever the strategy is) does
+    // it instead, so callers no longer have to pre-project.
     override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
       org.apache.spark.sql.catalyst.expressions.AttributeSet(
         left.output ++ right.output)
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Column pruning THROUGH the as-of node (round-4 "what's wrong" #3:
+    * the node claims every child column in `references` to keep its
+    * name-carried keys alive, which also blinded ColumnPruning — wide
+    * inputs reached the merge unless the caller pre-projected). When a
+    * Project (optionally over a Filter) consumes only part of the
+    * node's output, push a Project into each child keeping exactly the
+    * referenced columns plus the join keys. Registered alongside the
+    * strategy: `injectOptimizerRule` places it INSIDE the operator-
+    * optimization fixed point, so ColumnPruning then carries the
+    * inserted Projects all the way to the scans (ReadSchema shrinks —
+    * asserted in AsOfNativeSpec); the `experimental.extraOptimizations`
+    * path runs post-batch, where FileSourceStrategy's
+    * PhysicalOperation collapse still honors scan-adjacent Projects. */
+  object PruneAsOfChildren
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+    private def pruned(a: AsOfJoinPlan, needed: AttributeSet)
+    : Option[AsOfJoinPlan] = {
+      def keep(child: LogicalPlan): Seq[Attribute] =
+        child.output.filter(attr => needed.contains(attr) ||
+          attr.name == a.entityName || attr.name == a.tsName)
+      val (lk, rk) = (keep(a.left), keep(a.right))
+      if (lk.length < a.left.output.length ||
+        rk.length < a.right.output.length)
+        Some(a.copy(
+          left = if (lk.length < a.left.output.length)
+            Project(lk, a.left) else a.left,
+          right = if (rk.length < a.right.output.length)
+            Project(rk, a.right) else a.right))
+      else None
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case p @ Project(_, a: AsOfJoinPlan) =>
+        pruned(a, p.references).map(n => p.copy(child = n)).getOrElse(p)
+      case p @ Project(_, f @ Filter(_, a: AsOfJoinPlan)) =>
+        pruned(a, p.references ++ f.references)
+          .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
+    }
   }
 
   object AsOfStrategy extends SparkStrategy {
@@ -203,6 +249,11 @@ object AsOfJoinNative {
       if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ AsOfStrategy
+      }
+      if (!spark.experimental.extraOptimizations
+        .contains(PruneAsOfChildren)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ PruneAsOfChildren
       }
     }
     val l = left.withColumn(tsCol, col(tsCol).cast(LongType))

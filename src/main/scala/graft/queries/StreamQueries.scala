@@ -14,8 +14,44 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val active = new java.util.concurrent.atomic.AtomicInteger(0)
-  @volatile private var lastSink: Option[(SparkSession, String)] = None
+  private val activeByParent =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicInteger]()
+  private val lastSinks =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (SparkSession, String)]()
+
+  /** Invocation-keyed staging dir under a fixed per-process parent;
+    * the parent is cleared only when THIS is the sole live invocation
+    * of its query (Bench re-runs must not accrete replay chunks, but a
+    * concurrent invocation's in-flight dir must not be yanked either).
+    * Callers MUST pair with [[releaseStaging]]. */
+  private def stagingRoot(spark: SparkSession, parentName: String,
+                          seq: Int): String = {
+    val parent = new org.apache.hadoop.fs.Path(
+      System.getProperty("java.io.tmpdir"), parentName)
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ctr = activeByParent.computeIfAbsent(parentName,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+    if (ctr.incrementAndGet() == 1) fs.delete(parent, true)
+    new org.apache.hadoop.fs.Path(parent, s"run_$seq").toString
+  }
+
+  private def releaseStaging(parentName: String): Unit =
+    activeByParent.get(parentName).decrementAndGet()
+
+  /** Drop the previous invocation's memory-sink view (repeated runs
+    * must not accrete temp views) — but only while its owning session
+    * is still alive: a stopped ladder session's catalog throws, and
+    * its view died with the session anyway. */
+  private def dropPrevSink(key: String): Unit = {
+    val prev = lastSinks.get(key)
+    if (prev != null) {
+      val (s, n) = prev
+      if (!s.sparkContext.isStopped)
+        try s.catalog.dropTempView(n) catch { case _: Throwable => () }
+    }
+  }
 
   /** Exact dedup THROUGH THE STREAMING ENGINE: the documents table is
     * re-written as 8 parquet chunks and replayed as a file-source
@@ -31,18 +67,8 @@ object StreamQueries {
     * (watermarked dropDuplicatesWithinWatermark, horizon-bounded
     * state) is the StreamOps.dedupStream dual, spec-verified. */
   def qDedupStream(spark: SparkSession, dir: String): DataFrame = {
-    // invocation-keyed staging dir under a fixed per-process parent;
-    // the parent is cleared only when THIS is the sole live invocation
-    // (Bench re-runs must not accrete chunks, but a concurrent
-    // invocation's in-flight replay dir must not be yanked either)
     val seq = sinkSeq.incrementAndGet()
-    val root = {
-      val parent = new org.apache.hadoop.fs.Path(
-        System.getProperty("java.io.tmpdir"), "graft_dedup_stream")
-      val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (active.incrementAndGet() == 1) fs.delete(parent, true)
-      new org.apache.hadoop.fs.Path(parent, s"run_$seq").toString
-    }
+    val root = stagingRoot(spark, "graft_dedup_stream", seq)
     Tables.documents(spark, dir).repartition(8)
       .write.mode("overwrite").parquet(s"$root/in")
     val schema = Tables.documents(spark, dir).schema
@@ -53,14 +79,8 @@ object StreamQueries {
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("rep_doc"))
     // unique memory-sink name per invocation (the returned DataFrame
-    // stays lazily readable after this builder returns); the previous
-    // invocation's sink view is dropped so repeated runs don't accrete
-    // — but only while its owning session is still alive (a stopped
-    // ladder session's catalog throws; its view died with the session)
-    lastSink.foreach { case (s, n) =>
-      if (!s.sparkContext.isStopped)
-        try s.catalog.dropTempView(n) catch { case _: Throwable => () }
-    }
+    // stays lazily readable after this builder returns)
+    dropPrevSink("dedup")
     val name = s"graft_dedup_stream_$seq"
     try {
       val q = agg.writeStream.format("memory").queryName(name)
@@ -69,19 +89,105 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally active.decrementAndGet()
-    lastSink = Some((spark, name))
+    } finally releaseStaging("graft_dedup_stream")
+    lastSinks.put("dedup", (spark, name))
     spark.table(name).orderBy(col("content_hash"))
   }
 
-  val all: Map[String, CoreQueries.Q] = Map(
-    "q_dedup_stream" -> (qDedupStream _))
+  /** Write `df` as ONE parquet file at `target` (a file path, not a
+    * dir): the file-source replay needs one file per chunk so
+    * maxFilesPerTrigger=1 delivers exactly one chunk per micro-batch,
+    * in chunk order (FileStreamSource batches by modification time
+    * with path tie-break; chunks are written sequentially AND named in
+    * lexicographic chunk order, so both keys agree). */
+  private def writeOneFile(df: DataFrame, target: String): Unit = {
+    val stage = target + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+    fs.rename(part, new org.apache.hadoop.fs.Path(target))
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
 
-  // identical semantics to the batch q_dedup_exact — deliberately the
-  // same oracle text: the streaming engine must reproduce it exactly
+  /** The POINT-IN-TIME AS-OF JOIN through the streaming engine — the
+    * flagship operator's streaming dual on the hash gate (spec-only
+    * through round 4): non-error events (left) and error events
+    * (reference side) are each re-written as 4 TIME-RANGE chunks
+    * (ntile over global ts order — replay-harness work, not operator
+    * work) and replayed as two file-source streams, 1 chunk per
+    * micro-batch, so [[graft.streaming.StreamOps.streamingAsOf]]'s
+    * per-entity O(1) reference state accumulates across 4 incremental
+    * batches. Because the chunks partition TIME with shared boundaries
+    * on both streams, every micro-batch delivers a complete closed ts
+    * range and the in-order scan reproduces the batch backward-
+    * inclusive as-of join exactly — the output is hash-compared to
+    * q_asof_join's DuckDB `ASOF LEFT JOIN` oracle verbatim. The left
+    * point's `value` slot carries event_id (the payload the batch
+    * query outputs); ref_ts/ref_value surface as last_err_us/
+    * last_err_value. */
+  def qAsofStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seq = sinkSeq.incrementAndGet()
+    val root = stagingRoot(spark, "graft_asof_stream", seq)
+    try {
+      val ev = Tables.events(spark, dir).select(
+        col("user_id").cast("string").as("entity_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts"),
+        col("event_type"), col("value"), col("event_id"))
+      val chunked = ev.withColumn("chunk",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      (1 to 4).foreach { k =>
+        writeOneFile(chunked
+          .where(col("chunk") === k && col("event_type") =!= "error")
+          .select(col("entity_id"), col("ts"),
+            col("event_id").cast("double").as("value"),
+            lit("ev").as("source")),
+          s"$root/left/c$k.parquet")
+        writeOneFile(chunked
+          .where(col("chunk") === k && col("event_type") === "error")
+          .select(col("entity_id"), col("ts"), col("value"),
+            lit("err").as("source")),
+          s"$root/right/c$k.parquet")
+      }
+      val sch = org.apache.spark.sql.Encoders.product[graft.core.SeqPoint]
+        .schema
+      def src(side: String) = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/$side").as[graft.core.SeqPoint]
+      val enriched =
+        graft.streaming.StreamOps.streamingAsOf(src("left"), src("right"))(spark)
+      dropPrevSink("asof")
+      val name = s"graft_asof_stream_$seq"
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastSinks.put("asof", (spark, name))
+      spark.table(name).select(
+        col("entity_id").cast("bigint").as("user_id"),
+        col("value").cast("bigint").as("event_id"),
+        col("ref_value").as("last_err_value"),
+        col("ref_ts").as("last_err_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    } finally releaseStaging("graft_asof_stream")
+  }
+
+  val all: Map[String, CoreQueries.Q] = Map(
+    "q_dedup_stream" -> (qDedupStream _),
+    "q_asof_stream" -> (qAsofStream _))
+
+  // identical semantics to the batch duals — deliberately the same
+  // oracle texts: the streaming engine must reproduce them exactly
   val oracle: Map[String, String] = Map(
     "q_dedup_stream" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS rep_doc
-        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q_asof_stream" -> CoreQueries.oracle("q_asof_join"))
 }

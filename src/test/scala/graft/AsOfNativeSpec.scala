@@ -55,6 +55,46 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("pruning through the node: un-projected wide parquet inputs, a " +
+    "narrow select — the scans read only keys + referenced payload") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_asof_prune").toString
+    (0 until 500).map(i => ("e" + i % 5, i.toLong, i * 0.5, i * 2.0,
+      s"junkL$i", i.toString * 3))
+      .toDF("entity_id", "ts", "lv", "l_unused", "l_junk1", "l_junk2")
+      .write.mode("overwrite").parquet(s"$dir/l")
+    (0 until 50).map(i => ("e" + i % 5, i.toLong * 10, i * 1.0,
+      s"junkR$i", i * 9.0))
+      .toDF("entity_id", "ts", "f_v", "r_junk", "r_unused")
+      .write.mode("overwrite").parquet(s"$dir/r")
+    // NO caller-side projection — round 4 required it; the
+    // PruneAsOfChildren rule must now narrow the scans itself
+    val joined = AsOfJoinNative.joinBackward(spark,
+      spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"),
+      "entity_id", "ts")
+      .select(col("entity_id"), col("ts"), col("lv"), col("f_v"))
+    assert(joined.count() == 500) // materialize (resolves the AQE plan)
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSet
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSet
+    }
+    assert(scans.size == 2, s"expected 2 file scans, got $scans in\n$plan")
+    val all = scans.flatten.toSet
+    Seq("l_unused", "l_junk1", "l_junk2", "r_junk", "r_unused")
+      .foreach(c => assert(!all.contains(c),
+        s"unreferenced column $c survived into a scan: $scans"))
+    assert(scans.exists(_ == Set("entity_id", "ts", "lv")) &&
+      scans.exists(_ == Set("entity_id", "ts", "f_v")),
+      s"scans not minimal: $scans")
+  }
+
   test("plan shape: no union, children sorted independently") {
     val l = (0 until 1000).map(i => ("e" + i % 7, i.toLong, i * 0.5))
       .toDF("entity_id", "ts", "lv")
