@@ -94,10 +94,14 @@ object DedupQueries {
 
   /** MinHash signatures: sig_i = min(smix64(shh XOR mix(i))) — 16
     * integer rehashes of ONE base hash per shingle (round 4 computed
-    * 16 separate md5s); partial mins combine map-side. */
+    * 16 separate md5s); partial mins combine map-side. The same agg
+    * carries the doc's distinct-shingle count `nsh`, so the exact-
+    * Jaccard verify reads set sizes from this 1-row/doc table instead
+    * of re-aggregating the full shingle table per invocation. */
   private[queries] def signatures(sh: DataFrame): DataFrame = {
     val sigCols = (0 until K).map(i =>
-      min(Hash64.planeHash(col("shh"), i)).as(s"sig$i"))
+      min(Hash64.planeHash(col("shh"), i)).as(s"sig$i")) :+
+      count(lit(1)).as("nsh")
     sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
@@ -195,16 +199,29 @@ object DedupQueries {
     val ranked = buckets.withColumn("rk", row_number().over(bw))
     val joinCond = ("band" +: keyNames)
       .map(n => col(s"x.$n") === col(s"y.$n")).reduce(_ && _)
-    val cand = ranked.as("x").join(ranked.as("y"),
+    // candidates are consumed three times (shingle pre-filter, inter
+    // count, final assembly) — cache the small pair set, not the data
+    val cand = graft.core.Caches.cached(ranked.as("x").join(ranked.as("y"),
       joinCond && cappedPair(col("x.rk"), col("y.rk"), cap))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .union(links)
-      .distinct()
-    // exact Jaccard on candidates — set ops over 64-bit shingle ids
-    val na = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .distinct())
+    // exact Jaccard on candidates — set ops over 64-bit shingle ids.
+    // Set sizes come from the signature table's nsh (1 row/doc); the
+    // shingle table is scanned ONCE, semi-joined down to the docs that
+    // actually appear in a candidate pair (AQE broadcasts the id list
+    // when small), instead of two full-store joins + a count agg.
+    val na = clustered.select(col("doc_id"), col("nsh").as("n"))
+    val involved = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    // cached (spills to disk if large): both sides of the inter join
+    // consume it, and its size is bounded by the shingles of candidate
+    // docs — data those joins must read anyway
+    val shc = graft.core.Caches.cached(
+      sh.join(involved, Seq("doc_id"), "left_semi"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shh")),
+      .join(shc.select(col("doc_id").as("a_id"), col("shh")), Seq("a_id"))
+      .join(shc.select(col("doc_id").as("b_id"), col("shh")),
         Seq("b_id", "shh"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     cand.join(inter, Seq("a_id", "b_id"), "left")
