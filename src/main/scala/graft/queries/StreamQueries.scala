@@ -115,19 +115,22 @@ object StreamQueries {
   /** The POINT-IN-TIME AS-OF JOIN through the streaming engine — the
     * flagship operator's streaming dual on the hash gate (spec-only
     * through round 4): non-error events (left) and error events
-    * (reference side) are each re-written as 4 TIME-RANGE chunks
-    * (ntile over global ts order — replay-harness work, not operator
-    * work) and replayed as two file-source streams, 1 chunk per
-    * micro-batch, so [[graft.streaming.StreamOps.streamingAsOf]]'s
-    * per-entity O(1) reference state accumulates across 4 incremental
-    * batches. Because the chunks partition TIME with shared boundaries
-    * on both streams, every micro-batch delivers a complete closed ts
-    * range and the in-order scan reproduces the batch backward-
-    * inclusive as-of join exactly — the output is hash-compared to
-    * q_asof_join's DuckDB `ASOF LEFT JOIN` oracle verbatim. The left
-    * point's `value` slot carries event_id (the payload the batch
-    * query outputs); ref_ts/ref_value surface as last_err_us/
-    * last_err_value. */
+    * (reference side) are each re-written as 4 TIME-RANGE chunks and
+    * replayed as two file-source streams, 1 chunk per micro-batch, so
+    * [[graft.streaming.StreamOps.streamingAsOf]]'s per-entity O(1)
+    * reference state accumulates across 4 incremental batches. Because
+    * the chunks partition TIME with shared boundaries on both streams,
+    * every micro-batch delivers a complete closed ts range and the
+    * in-order scan reproduces the batch backward-inclusive as-of join
+    * exactly — the output is hash-compared to q_asof_join's DuckDB
+    * `ASOF LEFT JOIN` oracle verbatim. The result is invariant to
+    * WHERE the cuts fall (any shared time partition replays
+    * identically), so the cuts come from one exact-percentile
+    * aggregate over ts and each chunk write is a map-only filtered
+    * scan — no global-order window, which would single-partition-sort
+    * the whole table once per chunk write. The left point's `value`
+    * slot carries event_id (the payload the batch query outputs);
+    * ref_ts/ref_value surface as last_err_us/last_err_value. */
   def qAsofStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val seq = sinkSeq.incrementAndGet()
@@ -137,18 +140,25 @@ object StreamQueries {
         col("user_id").cast("string").as("entity_id"),
         unix_micros(col("ts").cast("timestamp")).as("ts"),
         col("event_type"), col("value"), col("event_id"))
-      val chunked = ev.withColumn("chunk",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))))
+      // 3 interior cuts = exact ts quartiles (longs below 2^53 are
+      // exact in double); chunk k = [cut(k-1), cut(k)) with ±∞ rails —
+      // every row lands in exactly one chunk even under heavy ties
+      // (equal cuts just leave a middle chunk empty)
+      val cuts = ev.agg(expr("percentile(ts, array(0.25, 0.5, 0.75))"))
+        .head.getSeq[Double](0)
+      val lo = Double.NegativeInfinity +: cuts
+      val hi = cuts :+ Double.PositiveInfinity
       (1 to 4).foreach { k =>
-        writeOneFile(chunked
-          .where(col("chunk") === k && col("event_type") =!= "error")
+        val inChunk = col("ts").cast("double") >= lo(k - 1) &&
+          col("ts").cast("double") < hi(k - 1)
+        writeOneFile(ev
+          .where(inChunk && col("event_type") =!= "error")
           .select(col("entity_id"), col("ts"),
             col("event_id").cast("double").as("value"),
             lit("ev").as("source")),
           s"$root/left/c$k.parquet")
-        writeOneFile(chunked
-          .where(col("chunk") === k && col("event_type") === "error")
+        writeOneFile(ev
+          .where(inChunk && col("event_type") === "error")
           .select(col("entity_id"), col("ts"), col("value"),
             lit("err").as("source")),
           s"$root/right/c$k.parquet")
