@@ -410,6 +410,93 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Multi-table LSH parameters for embedding NEAR-DUP (vs the ANN
+    * top-k tables below): near-dup wants high-precision buckets, so
+    * k = 16 planes per table (2^16 buckets — near-singleton occupancy
+    * at corpus scale, expected random-collision pair mass ~n²·L/2^17)
+    * with L = 16 tables for recall. At the τ = 0.9 report threshold
+    * the per-plane collision probability is p = 1 − θ/π ≈ 0.857, so
+    * table recall p^16 ≈ 0.19 and 16-table recall 1 − (1−p^16)^16
+    * ≈ 0.96; identical vectors collide in every table by construction
+    * and are collapsed before banding anyway. */
+  private val NeardupLshTables = 16
+  private val NeardupLshPlanes = 16
+  private val NeardupTau = 0.9
+  private val NeardupFloor = 0.2
+
+  private def neardupBucket(emb: Column, t: Int): Column =
+    (0 until NeardupLshPlanes).map { i =>
+      val terms = planeTerms(t, i)
+      val proj = graft.functions.Vectors.sparseSignedDot(
+        emb, terms.map(_._1), terms.map(_._2))
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup, the SCALE PATH of q_embed_neardup:
+    * the full table (no universe cap) through multi-table
+    * random-hyperplane LSH. Identical bit-pattern vectors (exact
+    * re-crawls — the dominant dup mass in a real corpus) are first
+    * collapsed to a min-vec_id representative with (rep, member)
+    * links at cosine 1 by definition — the same O(n)-per-cluster
+    * collapse as every other dedup path, so a 10⁶-copy crawl dup is
+    * linear, not quadratic. Distinct vectors land in L=16 tables of
+    * k=16-plane buckets; candidates = same-(table, bucket) pairs
+    * under the backstop rank cap — an EQUI-join that partitions by
+    * bucket id at any scale — then exact cosine verifies every
+    * candidate. Pairs at cos ≥ [[NeardupFloor]] are reported with an
+    * `is_dup` flag at the τ = 0.9 dedup threshold (the floor keeps
+    * the gate row set non-trivial on the synthetic corpus, whose
+    * non-identical cosines top out near 0.45; a production dedup pass
+    * reads the is_dup rows). Recall and the collapse/cap regimes are
+    * spec-checked in DedupSpec; the oracle replays planes, collapse,
+    * cap and floor verbatim. */
+  def qEmbedNeardupLsh(spark: SparkSession, dir: String): DataFrame =
+    embedNeardupLshPairs(Tables.embeddings(spark, dir))
+
+  def embedNeardupLshPairs(emb: DataFrame, cap: Int = BucketCap)
+      : DataFrame = {
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("embedding")).orderBy(col("vec_id"))
+    val repw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("embedding"))
+    val clustered = graft.core.Caches.cached(emb
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("crk", row_number().over(cw))
+      .withColumn("rep", min(col("vec_id")).over(repw)))
+    val links = clustered.where(col("crk") > 1)
+      .select(col("rep").as("a_id"), col("vec_id").as("b_id"),
+        lit(1.0).as("cos_sim"), lit(1L).as("is_dup"))
+    val buckets = array((0 until NeardupLshTables).map(t =>
+      struct(lit(t).as("t"), neardupBucket(col("embedding"), t).as("b"))): _*)
+    // norms once per vector, BEFORE the 16-way explode (expression
+    // tree sqrt(dot(x,x)) unchanged, so the oracle floats match)
+    val bd = clustered.where(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"),
+        explode(buckets).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("bk.t").as("t"), col("bk.b").as("b"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"), col("b")).orderBy(col("vec_id"))
+    val ranked = bd.withColumn("rk", row_number().over(bw))
+    val a = ranked.select(col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"),
+      col("t"), col("b"), col("rk").as("rka"))
+    val b = ranked.select(col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"),
+      col("t"), col("b"), col("rk").as("rkb"))
+    val cos = round(dotD(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+    a.join(b, Seq("t", "b"))
+      .where(cappedPair(col("rka"), col("rkb"), cap))
+      .select(col("a_id"), col("b_id"), cos.as("cos_sim"))
+      .where(col("cos_sim") >= NeardupFloor)
+      .distinct() // a pair can collide in several tables
+      .select(col("a_id"), col("b_id"), col("cos_sim"),
+        when(col("cos_sim") >= NeardupTau, 1L).otherwise(0L).as("is_dup"))
+      .union(links) // disjoint: link members never appear as reps
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Random-hyperplane LSH bucketing for ANN (the scale path of
     * q_embed_topk): 8 deterministic integer-arithmetic hyperplanes;
     * output = bucket histogram (bucket, n, mean vec norm). Bucket-local
@@ -509,6 +596,7 @@ object DedupQueries {
     "q_simhash" -> (qSimhash _),
     "q_simhash64" -> (qSimhash64 _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_embed_neardup_lsh" -> (qEmbedNeardupLsh _),
     "q_ann_lsh_buckets" -> (qAnnLshBuckets _),
     "q_ann_lsh_topk" -> (qAnnLshTopk _)
   )
@@ -730,6 +818,61 @@ object DedupQueries {
         |      * sqrt(list_sum(list_transform(b.embedding,
         |        x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_embed_neardup_lsh" -> {
+      // the 16 per-table bucket ids as paired unnests; each bucket =
+      // 16 sign-bit planes written as the same ± term sequence the
+      // native SparseSignedDotExpr evaluates (identical float adds)
+      val bucketExprs = (0 until NeardupLshTables).map { t =>
+        (0 until NeardupLshPlanes).map { i =>
+          val proj = planeTerms(t, i).map { case (d, s) =>
+            val sgn = if (s > 0) "+" else "-"
+            s"$sgn embedding[${d + 1}]::DOUBLE"
+          }.mkString(" ")
+          s"(CASE WHEN ($proj) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+      }.mkString(",\n        |      ")
+      val tList = (0 until NeardupLshTables).mkString("[", ",", "]")
+      s"""WITH clus AS (
+        |  SELECT vec_id, embedding,
+        |    row_number() OVER (PARTITION BY embedding ORDER BY vec_id)
+        |      AS crk,
+        |    min(vec_id) OVER (PARTITION BY embedding) AS rep
+        |  FROM embeddings),
+        |links AS (
+        |  SELECT rep AS a_id, vec_id AS b_id, 1.0::DOUBLE AS cos_sim,
+        |    1::BIGINT AS is_dup
+        |  FROM clus WHERE crk > 1),
+        |e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+        |    unnest($tList) AS t,
+        |    unnest([
+        |      $bucketExprs]) AS b
+        |  FROM (SELECT vec_id, embedding FROM clus WHERE crk = 1)),
+        |ranked AS (
+        |  SELECT vec_id, embedding, nrm, t, b,
+        |    row_number() OVER (PARTITION BY t, b ORDER BY vec_id) AS rk
+        |  FROM e),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |        p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (x.nrm * y.nrm), 6)
+        |      AS cos_sim
+        |  FROM ranked x JOIN ranked y ON x.t = y.t AND x.b = y.b
+        |    AND x.rk < y.rk AND (y.rk <= $BucketCap OR x.rk = 1)
+        |  WHERE round(
+        |      list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |        p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (x.nrm * y.nrm), 6)
+        |    >= $NeardupFloor)
+        |SELECT a_id, b_id, cos_sim,
+        |  (CASE WHEN cos_sim >= $NeardupTau THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_dup
+        |FROM cand
+        |UNION ALL SELECT a_id, b_id, cos_sim, is_dup FROM links
+        |ORDER BY a_id, b_id""".stripMargin
+    },
     "q_ann_lsh_topk" -> {
       val bucketExprs = (0 until LshTables).map { t =>
         (0 until LshPlanes).map { i =>

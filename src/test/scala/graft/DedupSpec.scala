@@ -187,6 +187,76 @@ class DedupSpec extends SparkSpec {
       s"coverage ${touchC.size}/$n docs preserved")
   }
 
+  test("embedding near-dup LSH: injected near-dups are found at the " +
+    "dedup threshold, exact copies collapse to rep links, output is " +
+    "sound vs brute-force cosine") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def vec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(_ => vec())
+    // 5 near-dups of bases 0..4: tiny perturbation, different bit
+    // patterns, cosine > 0.99 — banding recall at this distance is
+    // 1-(1-p^16)^16 with p≈0.95, i.e. certain for a fixed seed
+    val near = (0 until 5).map(i =>
+      base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    // 2 exact bit-pattern copies of base 0 → collapse links, cos 1.0
+    val rows: Seq[(Long, Array[Float])] =
+      base.indices.map(i => (i.toLong, base(i))) ++
+        near.indices.map(i => (20L + i, near(i))) ++
+        Seq((25L, base(0).clone()), (26L, base(0).clone()))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val out = DedupQueries.embedNeardupLshPairs(df).collect()
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(k => a(k).toDouble * b(k).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val byId = rows.toMap
+    // soundness: every reported cos_sim matches brute force; is_dup
+    // flags exactly the pairs at or above tau; floor honored
+    out.foreach { r =>
+      val (a, b) = (r.getLong(r.fieldIndex("a_id")),
+        r.getLong(r.fieldIndex("b_id")))
+      val cs = r.getDouble(r.fieldIndex("cos_sim"))
+      assert(cs >= 0.2 - 1e-9, s"pair ($a,$b) below the floor: $cs")
+      // cs is rounded to 6dp; compare at a tolerance that absorbs it
+      assertClose(cs, cosine(byId(a), byId(b)), s"cos_sim of ($a,$b)",
+        rtol = 1e-5)
+      assert((r.getLong(r.fieldIndex("is_dup")) == 1L) == (cs >= 0.9),
+        s"is_dup flag wrong for ($a,$b) at $cs")
+    }
+    val got = out.map(r => (r.getLong(r.fieldIndex("a_id")),
+      r.getLong(r.fieldIndex("b_id")))).toSet
+    // the 5 injected near-dup pairs are all found and flagged
+    (0 until 5).foreach { i =>
+      val p = (i.toLong, 20L + i)
+      assert(got.contains(p), s"near-dup pair $p missed by the banding")
+      val row = out.find(r => r.getLong(r.fieldIndex("a_id")) == p._1 &&
+        r.getLong(r.fieldIndex("b_id")) == p._2).get
+      assert(row.getLong(row.fieldIndex("is_dup")) == 1L,
+        s"near-dup pair $p not flagged at tau")
+    }
+    // exact copies surface as collapse links to the min-id rep, cos 1.0
+    Seq(25L, 26L).foreach { m =>
+      val link = out.find(r => r.getLong(r.fieldIndex("a_id")) == 0L &&
+        r.getLong(r.fieldIndex("b_id")) == m)
+      assert(link.isDefined, s"exact copy $m lost its rep link")
+      assert(link.get.getDouble(link.get.fieldIndex("cos_sim")) == 1.0)
+    }
+    // the rank cap may only drop candidate pairs, never add or affect
+    // the collapse links
+    val capped = DedupQueries.embedNeardupLshPairs(df, cap = 1).collect()
+      .map(r => (r.getLong(r.fieldIndex("a_id")),
+        r.getLong(r.fieldIndex("b_id")))).toSet
+    assert(capped.subsetOf(got), "cap added pairs")
+    assert(capped.contains((0L, 25L)) && capped.contains((0L, 26L)),
+      "cap dropped collapse links")
+    info(s"${out.length} pairs; 5/5 injected near-dups found; " +
+      s"2/2 exact copies collapsed")
+  }
+
   test("minhash LSH links every exact duplicate into one component") {
     // exact dupes (same text) have identical signatures => same collapse
     // cluster => each member links to the cluster rep with jaccard 1.0
