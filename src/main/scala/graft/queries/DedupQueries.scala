@@ -478,7 +478,10 @@ object DedupQueries {
         col("bk.t").as("t"), col("bk.b").as("b"))
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("t"), col("b")).orderBy(col("vec_id"))
-    val ranked = bd.withColumn("rk", row_number().over(bw))
+    // both join sides read the ranked-bucket table — cache it so the
+    // 16-way explode + rank window run once, not once per side
+    val ranked = graft.core.Caches.cached(
+      bd.withColumn("rk", row_number().over(bw)))
     val a = ranked.select(col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"),
       col("t"), col("b"), col("rk").as("rka"))
