@@ -424,8 +424,8 @@ object DedupQueries {
   private val NeardupTau = 0.9
   private val NeardupFloor = 0.2
 
-  private def neardupBucket(emb: Column, t: Int): Column =
-    (0 until NeardupLshPlanes).map { i =>
+  private def neardupBucket(emb: Column, t: Int, planes: Int): Column =
+    (0 until planes).map { i =>
       val terms = planeTerms(t, i)
       val proj = graft.functions.Vectors.sparseSignedDot(
         emb, terms.map(_._1), terms.map(_._2))
@@ -453,7 +453,17 @@ object DedupQueries {
   def qEmbedNeardupLsh(spark: SparkSession, dir: String): DataFrame =
     embedNeardupLshPairs(Tables.embeddings(spark, dir))
 
-  def embedNeardupLshPairs(emb: DataFrame, cap: Int = BucketCap)
+  /** @param planes bucket width per table: 2^planes buckets. SIZING
+    *   RULE at corpus scale: planes ≈ log2(n / target-occupancy), so
+    *   bucket occupancy — and with it the candidate-pair mass
+    *   Σ occ²·L/2 — stays constant as n grows; the gate default 16
+    *   (65536 buckets) is sized for the test corpus, a 10⁹-vector
+    *   corpus wants ~24–28. Recall at τ follows 1−(1−p^planes)^tables
+    *   with p = 1 − θ(τ)/π, so raise `tables` with `planes`. The rank
+    *   cap stays the adversarial backstop either way. */
+  def embedNeardupLshPairs(emb: DataFrame, cap: Int = BucketCap,
+                           tables: Int = NeardupLshTables,
+                           planes: Int = NeardupLshPlanes)
       : DataFrame = {
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("embedding")).orderBy(col("vec_id"))
@@ -466,8 +476,9 @@ object DedupQueries {
     val links = clustered.where(col("crk") > 1)
       .select(col("rep").as("a_id"), col("vec_id").as("b_id"),
         lit(1.0).as("cos_sim"), lit(1L).as("is_dup"))
-    val buckets = array((0 until NeardupLshTables).map(t =>
-      struct(lit(t).as("t"), neardupBucket(col("embedding"), t).as("b"))): _*)
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        neardupBucket(col("embedding"), t, planes).as("b"))): _*)
     // norms once per vector, BEFORE the 16-way explode (expression
     // tree sqrt(dot(x,x)) unchanged, so the oracle floats match)
     val bd = clustered.where(col("crk") === 1)

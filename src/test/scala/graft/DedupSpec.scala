@@ -257,6 +257,43 @@ class DedupSpec extends SparkSpec {
       s"2/2 exact copies collapsed")
   }
 
+  test("embedding near-dup LSH sizing knobs: coarser buckets (fewer " +
+    "planes) only widen the uncapped candidate set; fewer tables only " +
+    "narrow it; recall holds at a non-default operating point") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val base = (0 until 30).map(_ =>
+      Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val near = (0 until 5).map(i =>
+      base(i).map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val rows: Seq[(Long, Array[Float])] =
+      base.indices.map(i => (i.toLong, base(i))) ++
+        near.indices.map(i => (30L + i, near(i)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    def pairs(tables: Int, planes: Int): Set[(Long, Long)] =
+      DedupQueries.embedNeardupLshPairs(df, cap = Int.MaxValue,
+        tables = tables, planes = planes).collect()
+        .map(r => (r.getLong(r.fieldIndex("a_id")),
+          r.getLong(r.fieldIndex("b_id")))).toSet
+    val p16 = pairs(16, 16)
+    // a planes-p bucket is the low-p-bit prefix of the planes-16 bucket
+    // over the same plane family, so equal 16-bit buckets are equal
+    // 4-bit buckets: shrinking planes can only ADD candidates
+    assert(p16.subsetOf(pairs(16, 4)),
+      "coarser buckets lost a pair the finer buckets found")
+    // tables 0..7 are a prefix of tables 0..15: dropping tables can
+    // only REMOVE candidates
+    assert(pairs(8, 16).subsetOf(p16),
+      "a pair appeared out of nowhere when tables were dropped")
+    // the sizing rule's recall claim at a non-default operating point:
+    // p ≈ 0.955 at cos .99 → per-table p^8 ≈ .69, 8-table ≈ .9997
+    val got8 = pairs(8, 8)
+    (0 until 5).foreach { i =>
+      assert(got8.contains((i.toLong, 30L + i)),
+        s"near-dup $i missed at (tables=8, planes=8)")
+    }
+  }
+
   test("minhash LSH links every exact duplicate into one component") {
     // exact dupes (same text) have identical signatures => same collapse
     // cluster => each member links to the cluster rep with jaccard 1.0
