@@ -46,7 +46,11 @@ class ShuffleTallySpec extends SparkSpec {
     // because it was NOT in this envelope set (VERDICT r4 "what's
     // wrong" #1) — pinned now at the steady-state (root staged once,
     // s3 delete + rebuild per invocation) cost
-    "q_feature_pipeline_resume" -> 1.02)
+    "q_feature_pipeline_resume" -> 1.02,
+    // round-5 addition: the embedding near-dup scale path is the
+    // battery's #3 shuffler at sf0.1 (10.4 MB) — pin it from birth
+    // rather than repeating the resume query's history
+    "q_embed_neardup_lsh" -> 0.81)
 
   test("top-shuffle queries stay inside their byte envelopes at sf0.01") {
     val sf = "/root/testdata/sf0.01"
