@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.all ++
       graft.queries.TextQueries.all ++
+      graft.queries.CurationQueries.all ++
       graft.queries.EmbedQueries.all ++
       graft.queries.SeqQueries.all ++
       graft.queries.PipelineQueries.all ++
@@ -37,6 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.TextQueries.oracle ++
+      graft.queries.CurationQueries.oracle ++
       graft.queries.EmbedQueries.oracle ++
       graft.queries.SeqQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
