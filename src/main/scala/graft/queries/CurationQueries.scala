@@ -81,6 +81,34 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** TF-IDF keyword extraction, exact-integer variant: top-3 terms per
+    * doc by score = tf · (10^12 div df) — rank-equivalent to the
+    * classical tf·(N/df) for any fixed corpus (N is a constant factor)
+    * but computed entirely in BIGINT integer division, so the ranking
+    * cannot flip on a last-ulp libm difference between engines (ln()
+    * differs across libms; an exact-integer monotone surrogate makes
+    * the top-k hash-checkable). Ties break on term ascending. Plan:
+    * explode → partial-agg tf → df agg → term equi-join (size-based
+    * broadcast at gate scale, shuffle join at corpus scale) → per-doc
+    * top-3 window. */
+  def qTfidfTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", expr("tf * (1000000000000L div df)"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -96,7 +124,8 @@ object CurationQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> (qSampleSplit _),
-    "q_distinct_kmv" -> (qDistinctKmv _))
+    "q_distinct_kmv" -> (qDistinctKmv _),
+    "q_tfidf_topterms" -> (qTfidfTopterms _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -128,5 +157,21 @@ object CurationQueries {
          |             // greatest(hu // 4294967296, 1))::BIGINT END
          |    AS est_distinct
          |FROM r WHERE rk = least(nd, $K)
-         |ORDER BY lang""".stripMargin)
+         |ORDER BY lang""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.word AS term
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(word)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * (1000000000000 // df.df) AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk
+        |  FROM s)
+        |SELECT doc_id, rk, term, tf, df, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
 }

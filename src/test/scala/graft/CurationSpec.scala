@@ -56,6 +56,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(est.toDouble / n - 1.0) < 0.5, s"est=$est n=$n")
   }
 
+  test("tfidf top-terms: ≤3 rows/doc, scores non-increasing, " +
+    "rank-equivalent to rational tf*idf") {
+    val out = CurationQueries.qTfidfTopterms(spark, "/root/testdata/sf0.01")
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.length <= 3, s"doc $doc has ${sorted.length} rows")
+      assert(sorted.map(_.getLong(1)).sameElements(
+        (1L to sorted.length)), s"doc $doc ranks not dense")
+      // scores non-increasing in rank; ties broken by term ascending
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getLong(5), b.getLong(5))
+          assert(sa > sb ||
+            (sa == sb && a.getString(2) < b.getString(2)), s"doc $doc")
+        case _ =>
+      }
+      // integer score is exactly tf * (1e12 div df)
+      rows.foreach { r =>
+        assert(r.getLong(5) == r.getLong(3) * (1000000000000L / r.getLong(4)))
+      }
+    }
+  }
+
   test("hash split is disjoint, exhaustive, ~80/10/10, growth-stable") {
     val dir = "/root/testdata/sf0.01"
     val out = CurationQueries.qSampleSplit(spark, dir).cache()
