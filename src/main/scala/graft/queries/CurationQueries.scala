@@ -59,15 +59,18 @@ object CurationQueries {
     * replays the sketch as the rank-K row over the distinct hashes,
     * so the bounded Aggregator is hash-checked bit-for-bit. */
   def qDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val sh3 = when(size(ws) >= 3,
-      transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
-          element_at(ws, i + 3))))
-      .otherwise(array().cast("array<string>"))
-    val hashes = Tables.documents(spark, dir)
-      .select(col("lang"), explode(sh3).as("sh"))
-      .select(col("lang"), Hash64.md5_64(col("sh")).as("h"))
+    // source = the dedup battery's MATERIALIZED shingle store
+    // (DedupQueries.minhashStore, staged once per input dir through the
+    // bucketed feature-store sink): the 3-shingle md5 pass is shared
+    // with q_minhash_lsh instead of recomputed here — the same
+    // Hash64.md5_64 domain the oracle replays. lang attaches by joining
+    // the narrow doc_id → lang projection (size-based broadcast at gate
+    // scale, shuffle equi-join at corpus scale).
+    val (sh, _) = DedupQueries.minhashStore(spark, dir)
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val hashes = sh.join(langs, "doc_id")
+      .select(col("lang"), col("shh").as("h"))
     val nk = size(col("ks"))
     hashes.groupBy(col("lang"))
       .agg(countDistinct(col("h")).as("n_exact"),

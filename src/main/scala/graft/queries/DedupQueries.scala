@@ -118,7 +118,7 @@ object DedupQueries {
     * session teardowns (paths, not plans, are memoized). */
   private val stagedDirs = scala.collection.concurrent.TrieMap[String, String]()
 
-  private def minhashStore(spark: SparkSession, dir: String)
+  private[queries] def minhashStore(spark: SparkSession, dir: String)
   : (DataFrame, DataFrame) = {
     val root = stagedDirs.getOrElseUpdate(dir, {
       val tag = java.security.MessageDigest.getInstance("MD5")
