@@ -290,8 +290,33 @@ object CoreQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Semi-structured property extraction: parse the events table's JSON
+    * `props` column with a declared schema (`from_json`, codegen'd — the
+    * production path for event payloads; schema-on-read, malformed rows
+    * become NULL instead of failing the scan) and aggregate the extracted
+    * field per event type. Plan: scan → project(parse) → partial agg →
+    * 5-group final agg — the parse is map-side, so payload strings never
+    * enter the exchange; only (event_type, partial sums) shuffle. The
+    * oracle extracts via DuckDB's JSON path functions — different parser,
+    * same values. k_avg is one division of exact integer aggregates. */
+  def qJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+        sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .withColumn("k_avg", col("k_sum") / col("n_parsed"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_rolling_stats" -> (qRollingStats _),
+    "q_json_props" -> (qJsonProps _),
     "q_lag_features" -> (qLagFeatures _),
     "q_stats_profile" -> (qStatsProfile _),
     "q_hrv" -> (qHrv _),
@@ -305,6 +330,15 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    json_extract_string(props, '$.k')::BIGINT AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_parsed,
+        |  sum(k)::BIGINT AS k_sum, min(k) AS k_min, max(k) AS k_max,
+        |  sum(k)::BIGINT / count(k) AS k_avg
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_stats" ->
       """WITH v AS (SELECT user_id, event_id, ts, round(value*100) AS b
         |  FROM events)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.{Hash64, Kmv}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a training-data pipeline runs before any
@@ -112,6 +112,112 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Gopher-style repetition quality filters (Rae et al. 2021 §A1.1, the
+    * MassiveText curation rules): type-token ratio, most-frequent-word
+    * character fraction, top-bigram occurrence fraction, duplicate-bigram
+    * fraction, and the composite keep flag a filtering pass would apply.
+    * Every metric is ROW-LOCAL array-HOF work — the physical plan is
+    * scan → project (+ the gate's ordered output), zero exchange — which
+    * is the only shape repetition filtering can take at 100 TB: it is
+    * embarrassingly parallel and must not shuffle. Counting is
+    * O(n·distinct) string compares per doc inside whole-stage codegen
+    * (docs are bounded, ~100 words). Every fraction is a single division
+    * of exact integers → bit-identical doubles on both engines, no
+    * rounding. Top-gram ties break to the lexicographically GREATEST
+    * gram (struct max = (cnt, gram) lexicographic; oracle: ORDER BY cnt
+    * DESC, gram DESC). Single-word docs emit NULL bigram metrics on both
+    * sides. */
+  def qGopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def top(arr: Column): Column =
+      array_max(transform(array_distinct(arr), g =>
+        struct(size(filter(arr, x => x === g)).as("cnt"), g.as("g"))))
+    val words = split(col("text"), " ")
+    val n = size(words)
+    // bigrams via indexed transform over the first n-1 words (slice is
+    // empty for n = 1 — avoids sequence(1, n-1), which DESCENDS there)
+    val bigrams = transform(slice(words, lit(1), n - 1), (w, i) =>
+      concat(w, lit(" "), element_at(words, i + 2)))
+    val ttr = col("ndw") / col("n")
+    val twcf = col("tw.cnt") * length(col("tw.g")) / col("sum_chars")
+    val dupf = lit(1) - col("ndb") / (col("n") - 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), n.as("n"),
+        aggregate(words, lit(0), (a, x) => a + length(x)).as("sum_chars"),
+        size(array_distinct(words)).as("ndw"), top(words).as("tw"),
+        size(array_distinct(bigrams)).as("ndb"), top(bigrams).as("tb"))
+      .select(col("doc_id"), col("lang"), col("n").cast("long").as("n_words"),
+        ttr.as("ttr"),
+        col("tw.g").as("top_word"),
+        col("tw.cnt").cast("long").as("top_word_cnt"),
+        twcf.as("top_word_char_frac"),
+        col("tb.g").as("top_bigram"),
+        col("tb.cnt").cast("long").as("top_bigram_cnt"),
+        (col("tb.cnt") / (col("n") - 1)).as("top_bigram_frac"),
+        when(col("n") >= 2, dupf).as("dup_bigram_frac"),
+        when(col("n") >= 2,
+          ttr >= 0.30 && twcf <= 0.10 && dupf <= 0.10).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style corpus-LM quality scoring: fit the corpus's own unigram
+    * distribution, then score every doc by its mean negative log
+    * probability under it (low = stereotyped/repetitive text, high =
+    * rare-token text — the filtering axis CCNet buckets on). Two-stage
+    * plan: one explode → (doc, word) partial-agg tf → tiny vocab agg →
+    * 1-row total broadcast onto the vocab → word-level equi-join back to
+    * tf (size-based broadcast at gate scale, shuffle equi-join at corpus
+    * scale) → per-doc sum. Cross-engine exactness: per-word
+    * lp_u6 = round(ln(T/c_w)·10⁶ + 10⁻³) is computed ONCE per vocab
+    * entry and landed on the micro-nat integer lattice (the jitter
+    * clears any last-ulp libm ln() divergence; values are ≥ 0 so both
+    * engines' round-half-up agree), so the per-doc accumulation is an
+    * exact BIGINT sum — order-independent — and the one final division
+    * is deterministic. */
+  def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("t"))
+    val scored = vocab.join(broadcast(tot), lit(true))
+      .select(col("w"),
+        round(log(col("t") / col("c")) * lit(1000000.0) + lit(1.0e-3), 0)
+          .cast("long").as("lp_u6"))
+    tf.join(scored, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("lp_u6")).as("nll_u6"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("nll_u6"),
+        (col("nll_u6") / (col("n_words") * lit(1000000L))).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified corpus rebalancing: deterministically downsample every
+    * language to the size of the smallest one (the "balance the mixture"
+    * curation step). The keep rule is pure hash arithmetic —
+    * pmod(h(doc_id), c_lang) < target — so membership is reproducible,
+    * needs no sort/shuffle of the corpus (the per-lang counts are a tiny
+    * agg joined back size-based), and each language keeps ~target docs
+    * uniformly at random w.r.t. the hash. Map-dominant: the corpus-side
+    * plan is scan → hash → filter. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val lc = docs.groupBy(col("lang")).agg(count(lit(1)).as("c_lang"))
+      .withColumn("target",
+        min(col("c_lang")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+    val h = Hash64.md5_64(concat(lit("strat|"), col("doc_id").cast("string")))
+    docs.join(lc, "lang")
+      .withColumn("hmod", pmod(h, col("c_lang")))
+      .where(col("hmod") < col("target"))
+      .select(col("doc_id"), col("lang"), col("c_lang"), col("target"),
+        col("hmod"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -128,7 +234,10 @@ object CurationQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_split" -> (qSampleSplit _),
     "q_distinct_kmv" -> (qDistinctKmv _),
-    "q_tfidf_topterms" -> (qTfidfTopterms _))
+    "q_tfidf_topterms" -> (qTfidfTopterms _),
+    "q_gopher_repetition" -> (qGopherRepetition _),
+    "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_stratified_sample" -> (qStratifiedSample _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -176,5 +285,77 @@ object CurationQueries {
         |    ORDER BY score DESC, term) AS rk
         |  FROM s)
         |SELECT doc_id, rk, term, tf, df, score
-        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q_gopher_repetition" ->
+      """WITH tt AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang, ws[i] AS w, i
+        |  FROM tt, unnest(generate_series(1, len(ws))) AS u(i)),
+        |n AS (
+        |  SELECT doc_id, lang, count(*) AS n,
+        |    sum(length(w))::BIGINT AS sum_chars, count(DISTINCT w) AS ndw
+        |  FROM w GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT doc_id, w, cnt FROM (
+        |    SELECT doc_id, w, count(*) AS cnt, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY count(*) DESC, w DESC) AS rk
+        |    FROM w GROUP BY doc_id, w) WHERE rk = 1),
+        |bg AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |bn AS (SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS ndb
+        |       FROM bg GROUP BY 1),
+        |bt AS (
+        |  SELECT doc_id, g, cnt FROM (
+        |    SELECT doc_id, g, count(*) AS cnt, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY count(*) DESC, g DESC) AS rk
+        |    FROM bg GROUP BY doc_id, g) WHERE rk = 1)
+        |SELECT n.doc_id, n.lang, n.n AS n_words,
+        |  n.ndw / n.n AS ttr,
+        |  wt.w AS top_word, wt.cnt AS top_word_cnt,
+        |  wt.cnt * length(wt.w) / n.sum_chars AS top_word_char_frac,
+        |  bt.g AS top_bigram, bt.cnt AS top_bigram_cnt,
+        |  bt.cnt / bn.nb AS top_bigram_frac,
+        |  CASE WHEN n.n >= 2 THEN 1 - bn.ndb / bn.nb END
+        |    AS dup_bigram_frac,
+        |  CASE WHEN n.n >= 2 THEN
+        |    (n.ndw / n.n >= 0.30
+        |     AND wt.cnt * length(wt.w) / n.sum_chars <= 0.10
+        |     AND 1 - bn.ndb / bn.nb <= 0.10) END AS keep
+        |FROM n
+        |JOIN wt USING (doc_id)
+        |LEFT JOIN bn USING (doc_id)
+        |LEFT JOIN bt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, u.w AS w
+        |  FROM documents, unnest(string_split(text, ' ')) AS u(w)),
+        |tf AS (SELECT doc_id, lang, w, count(*) AS tf
+        |       FROM w GROUP BY 1, 2, 3),
+        |v AS (SELECT w, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+        |t AS (SELECT sum(c)::BIGINT AS t FROM v),
+        |s AS (SELECT w, round(ln(t.t / v.c) * 1000000 + 0.001, 0)::BIGINT
+        |        AS lp_u6
+        |      FROM v, t),
+        |d AS (
+        |  SELECT tf.doc_id, tf.lang, sum(tf.tf)::BIGINT AS n_words,
+        |         sum(tf.tf * s.lp_u6)::BIGINT AS nll_u6
+        |  FROM tf JOIN s USING (w) GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_words, nll_u6,
+        |  nll_u6 / (n_words * 1000000) AS mean_nll
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    count(*) OVER (PARTITION BY lang) AS c_lang,
+         |    ${signed(md5u64("'strat|' || doc_id::VARCHAR"))} AS h
+         |  FROM documents),
+         |t AS (SELECT *, min(c_lang) OVER () AS target,
+         |        ((h % c_lang) + c_lang) % c_lang AS hmod
+         |      FROM c)
+         |SELECT doc_id, lang, c_lang, target, hmod
+         |FROM t WHERE hmod < target ORDER BY doc_id""".stripMargin)
 }

@@ -105,4 +105,125 @@ class CurationSpec extends SparkSpec {
       assert(joined.count() == out.where(col("doc_id") < 100).count())
     } finally out.unpersist()
   }
+
+  test("gopher repetition metrics replay a scala brute force exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = CurationQueries.qGopherRepetition(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      val n = ws.length
+      // top = max count, ties to the lexicographically greatest gram
+      def top(gs: Array[String]): (Int, String) = {
+        val byCnt = gs.groupBy(identity).view.mapValues(_.length)
+        byCnt.map { case (g, c) => (c, g) }.max
+      }
+      val (twc, tw) = top(ws)
+      val sumChars = ws.map(_.length).sum
+      assert(r.getLong(r.fieldIndex("n_words")) == n)
+      assert(r.getDouble(r.fieldIndex("ttr")) ==
+        ws.distinct.length.toDouble / n)
+      assert(r.getString(r.fieldIndex("top_word")) == tw)
+      assert(r.getLong(r.fieldIndex("top_word_cnt")) == twc)
+      assert(r.getDouble(r.fieldIndex("top_word_char_frac")) ==
+        (twc * tw.length).toDouble / sumChars)
+      val bgs = ws.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toArray
+      val (tbc, tb) = top(bgs)
+      assert(r.getString(r.fieldIndex("top_bigram")) == tb)
+      assert(r.getLong(r.fieldIndex("top_bigram_cnt")) == tbc)
+      assert(r.getDouble(r.fieldIndex("top_bigram_frac")) ==
+        tbc.toDouble / (n - 1))
+      val dupf = 1.0 - bgs.distinct.length.toDouble / (n - 1)
+      assert(r.getDouble(r.fieldIndex("dup_bigram_frac")) == dupf)
+      val ttr = ws.distinct.length.toDouble / n
+      val twcf = (twc * tw.length).toDouble / sumChars
+      assert(r.getBoolean(r.fieldIndex("keep")) ==
+        (ttr >= 0.30 && twcf <= 0.10 && dupf <= 0.10))
+    }
+    // the plan is map-only before the ordered output: no aggregate, no
+    // join — the 100-TB posture the scaladoc claims
+    val plan = CurationQueries.qGopherRepetition(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "repetition filter grew a join")
+    assert(!plan.toLowerCase.contains("hashaggregate"),
+      "repetition filter grew an aggregate")
+  }
+
+  test("unigram logprob replays the corpus-LM brute force exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = texts.values.flatMap(_.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = counts.values.sum
+    // math.round = floor(x+0.5) == Spark's HALF_UP for the non-negative
+    // lattice values here (ln(T/c) >= 0)
+    val rows = CurationQueries.qUnigramLogprob(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      val nll = ws.map(w => math.round(
+        math.log(t.toDouble / counts(w)) * 1000000.0 + 1.0e-3)).sum
+      assert(r.getLong(r.fieldIndex("n_words")) == ws.length)
+      assert(r.getLong(r.fieldIndex("nll_u6")) == nll,
+        s"doc ${r.getLong(0)}")
+      assert(r.getDouble(r.fieldIndex("mean_nll")) ==
+        nll.toDouble / (ws.length * 1000000L))
+    }
+    // rare-word docs must score strictly higher than stereotyped ones:
+    // monotone sanity of the filtering axis
+    val scores = rows.map(r => r.getDouble(r.fieldIndex("mean_nll")))
+    assert(scores.max > scores.min, "degenerate score distribution")
+  }
+
+  test("stratified sample balances languages and replays its hash rule") {
+    val sf = "/root/testdata/sf0.001"
+    val out = CurationQueries.qStratifiedSample(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val cLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val target = cLang.values.min
+    // exact membership replay: pmod(md5_64("strat|"||id), c_lang) < target
+    val expect = docs.filter { case (id, lang) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"strat|$id".getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(md).getLong(0)
+      val m = ((h % cLang(lang)) + cLang(lang)) % cLang(lang)
+      m < target
+    }.map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expect, "membership diverged")
+    // every language lands within 4·sqrt(target) of the target count
+    val kept = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    cLang.keys.foreach { l =>
+      assert(math.abs(kept.getOrElse(l, 0) - target) <=
+        4 * math.sqrt(target.toDouble), s"$l: ${kept.get(l)} vs $target")
+    }
+  }
+
+  test("json props aggregation replays a scala json parse exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0),
+        """-?\d+""".r.findFirstIn(r.getString(1)).get.toLong))
+    val rows = graft.queries.CoreQueries.qJsonProps(spark, sf).collect()
+    val byType = ev.groupBy(_._1)
+    assert(rows.length == byType.size)
+    rows.foreach { r =>
+      val ks = byType(r.getString(0)).map(_._2)
+      assert(r.getLong(r.fieldIndex("n")) == ks.length)
+      assert(r.getLong(r.fieldIndex("n_parsed")) == ks.length)
+      assert(r.getLong(r.fieldIndex("k_sum")) == ks.sum)
+      assert(r.getLong(r.fieldIndex("k_min")) == ks.min)
+      assert(r.getLong(r.fieldIndex("k_max")) == ks.max)
+      assert(r.getDouble(r.fieldIndex("k_avg")) ==
+        ks.sum.toDouble / ks.length)
+    }
+  }
 }

@@ -25,10 +25,11 @@ class PlanSpec extends SparkSpec {
 
   // The only queries allowed a BroadcastNestedLoopJoin: each scores a
   // CONSTANT-size broadcast side against the big side (all-pairs geo
-  // anchors, the 20-row top-k query set, the k=16 IVF centroids) —
-  // points×k shapes where k is a query constant, not data.
+  // anchors, the 20-row top-k query set, the k=16 IVF centroids, the
+  // 1-row corpus-total scalar under the unigram LM) — points×k shapes
+  // where k is a query constant, not data.
   private val bnljAllowed = Set("q_geo_pairs", "q_embed_topk",
-    "q_embed_neardup", "q_ivf_cells", "q_ann_ivf")
+    "q_embed_neardup", "q_ivf_cells", "q_ann_ivf", "q_unigram_logprob")
 
   test("no query plans a CartesianProduct, and nested-loop joins only " +
     "appear where a constant-size side justifies them") {
