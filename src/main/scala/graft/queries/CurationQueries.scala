@@ -218,6 +218,78 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source document cap (the web-curation "at most K docs per
+    * domain" rule): keep, per source, the K docs with the smallest
+    * doc-hash — a deterministic uniform-without-replacement sample
+    * that is stable under corpus growth within the kept set's hash
+    * range. The scale trick is HOW the K-th smallest hash is found:
+    * not a per-source sort/window (whose fan-in is unbounded — a hot
+    * domain with 10^9 pages would sort 10^9 rows in one partition)
+    * but the bounded [[Kmv]] bottom-k aggregator — ≤ K longs per
+    * (source × partition) enter the exchange, map-side combinable,
+    * skew-immune. The kept set is then a stateless filter against the
+    * per-source threshold (one row per source — broadcastable at any
+    * corpus scale). Comparison is in unsigned hash order (sign-bit
+    * flip on the Spark side; the oracle ranks the unsigned HUGEINT
+    * domain directly), matching Kmv's unsigned retention order.
+    * Sources with < K docs keep everything (threshold = their max). */
+  def qSourceCaps(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 16
+    val h = Hash64.md5_64(concat(lit("cap|"), col("doc_id").cast("string")))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("h"))
+    val thr = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"), Kmv.sketch(cap)(col("h")).as("ks"))
+      .select(col("source"), col("n_src"),
+        element_at(col("ks"), size(col("ks"))).as("kth"))
+    val sign = lit(Long.MinValue)
+    docs.join(thr, "source")
+      .where(col("h").bitwiseXOR(sign) <= col("kth").bitwiseXOR(sign))
+      .select(col("doc_id"), col("source"), col("h"), col("kth"),
+        col("n_src"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style corpus-wide duplicated-span detection (Raffel et al.
+    * 2020 §2.2 use "any three-sentence span occurring more than once";
+    * here the span is a non-overlapping 8-word chunk, the analog for
+    * the corpus's unsegmented texts): hash every chunk, count corpus
+    * occurrences, and report per doc how much of it is boilerplate
+    * (chunks seen ≥ 2 times anywhere, its own repeats included).
+    * Plan: one explode → partial-count agg on the 8-byte chunk hash →
+    * equi-join back to the exploded table ON THE SAME KEY (Catalyst
+    * reuses the aggregation's hash partitioning for the probe side —
+    * one effective exchange of (doc_id, hash) pairs, never chunk
+    * strings, which die map-side inside the hash) → per-doc count agg.
+    * Everything that moves is fixed-width integers; dup_frac is one
+    * exact n_dup/n_chunks division. Docs shorter than one chunk keep a
+    * row with n_chunks = 0 and NULL fractions on both engines. */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val words = split(col("text"), " ")
+    val n = size(words)
+    // full non-overlapping windows only (floor(n/W) chunks); guard the
+    // n < W case — Spark's sequence DESCENDS when start > stop
+    val idx = when(n >= W, sequence(lit(1), n - (W - 1), lit(W)))
+      .otherwise(array().cast("array<int>"))
+    val chunks = transform(idx, i => Hash64.md5_64(
+      concat(lit("chunk|"), concat_ws(" ", slice(words, i, lit(W))))))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), n.cast("long").as("n_words"),
+        explode_outer(chunks).as("ch"))
+    val occ = ex.where(col("ch").isNotNull)
+      .groupBy(col("ch")).agg(count(lit(1)).as("occ"))
+    ex.join(occ, Seq("ch"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("n_words"))
+      .agg(count(col("ch")).as("n_chunks"),
+        count(when(col("occ") >= 2, 1)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_chunks") > 0, col("n_dup") / col("n_chunks")))
+      .withColumn("keep",
+        when(col("n_chunks") > 0, col("dup_frac") <= lit(0.25)))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -237,7 +309,9 @@ object CurationQueries {
     "q_tfidf_topterms" -> (qTfidfTopterms _),
     "q_gopher_repetition" -> (qGopherRepetition _),
     "q_unigram_logprob" -> (qUnigramLogprob _),
-    "q_stratified_sample" -> (qStratifiedSample _))
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_source_caps" -> (qSourceCaps _),
+    "q_chunk_dedup" -> (qChunkDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -357,5 +431,45 @@ object CurationQueries {
          |        ((h % c_lang) + c_lang) % c_lang AS hmod
          |      FROM c)
          |SELECT doc_id, lang, c_lang, target, hmod
-         |FROM t WHERE hmod < target ORDER BY doc_id""".stripMargin)
+         |FROM t WHERE hmod < target ORDER BY doc_id""".stripMargin,
+    "q_source_caps" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    ${md5u64("'cap|' || doc_id::VARCHAR")} AS hu
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, hu AS kthu,
+         |    row_number() OVER (PARTITION BY source ORDER BY hu) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS nd
+         |  FROM (SELECT DISTINCT source, hu FROM s)),
+         |t AS (SELECT source, kthu FROM r WHERE rk = least(nd, 16)),
+         |n AS (SELECT source, count(*) AS n_src FROM s GROUP BY 1)
+         |SELECT s.doc_id, s.source, ${signed("s.hu")} AS h,
+         |  ${signed("t.kthu")} AS kth, n.n_src
+         |FROM s JOIN t USING (source) JOIN n USING (source)
+         |WHERE s.hu <= t.kthu ORDER BY s.doc_id""".stripMargin,
+    "q_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    ${md5u64(
+               "'chunk|' || list_aggregate(ws[i:i+7], 'string_agg', ' ')")}
+         |      AS ch
+         |  FROM t, unnest(generate_series(1, len(ws) - 7, 8)) AS u(i)),
+         |g AS (SELECT ch, count(*) AS occ FROM c GROUP BY 1),
+         |d AS (
+         |  SELECT c.doc_id, count(*) AS n_chunks,
+         |    count(CASE WHEN g.occ >= 2 THEN 1 END) AS n_dup
+         |  FROM c JOIN g USING (ch) GROUP BY 1)
+         |SELECT t.doc_id, t.lang, len(t.ws)::BIGINT AS n_words,
+         |  coalesce(d.n_chunks, 0)::BIGINT AS n_chunks,
+         |  coalesce(d.n_dup, 0)::BIGINT AS n_dup,
+         |  CASE WHEN d.n_chunks > 0 THEN d.n_dup / d.n_chunks END
+         |    AS dup_frac,
+         |  CASE WHEN d.n_chunks > 0 THEN d.n_dup / d.n_chunks <= 0.25 END
+         |    AS keep
+         |FROM t LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
 }

@@ -206,6 +206,76 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("source caps keep exactly the bottom-16 by unsigned hash per source") {
+    val sf = "/root/testdata/sf0.001"
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md).getLong(0)
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute force: per source, the <=16 docs with the smallest hashes
+    // in UNSIGNED order (Kmv's retention order)
+    val expect = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      ds.map(d => (h64(s"cap|${d._1}"), d._1))
+        .sortWith((a, b) => java.lang.Long.compareUnsigned(a._1, b._1) < 0)
+        .take(16).map(_._2).toSeq
+    }.toSet
+    val out = CurationQueries.qSourceCaps(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == expect, "kept set diverged")
+    // every kept row's hash is <=u its source threshold, and each
+    // source keeps min(16, n_src) docs
+    val bySrc = out.groupBy(_.getString(1))
+    val nSrc = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    bySrc.foreach { case (s, rows) =>
+      assert(rows.length == math.min(16, nSrc(s)), s"$s cap count")
+      rows.foreach { r =>
+        assert(java.lang.Long.compareUnsigned(
+          r.getLong(r.fieldIndex("h")), r.getLong(r.fieldIndex("kth"))) <= 0)
+      }
+    }
+    // the 100-TB posture: the threshold comes from the bounded KMV
+    // aggregator, NOT a per-source sort/window over the corpus
+    val plan = CurationQueries.qSourceCaps(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "cap grew an unbounded window")
+  }
+
+  test("chunk dedup replays a corpus-wide brute force exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def chunksOf(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      (0 to ws.length - 8 by 8).map(i => ws.slice(i, i + 8).mkString(" "))
+    }
+    val occ = texts.values.flatMap(chunksOf)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rows = CurationQueries.qChunkDedup(spark, sf).collect()
+    assert(rows.length == texts.size, "a doc row went missing")
+    var dupTotal = 0L
+    rows.foreach { r =>
+      val cs = chunksOf(texts(r.getLong(0)))
+      val nDup = cs.count(occ(_) >= 2)
+      assert(r.getLong(r.fieldIndex("n_chunks")) == cs.length)
+      assert(r.getLong(r.fieldIndex("n_dup")) == nDup)
+      if (cs.nonEmpty) {
+        assert(r.getDouble(r.fieldIndex("dup_frac")) ==
+          nDup.toDouble / cs.length)
+        assert(r.getBoolean(r.fieldIndex("keep")) ==
+          (nDup.toDouble / cs.length <= 0.25))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("dup_frac")))
+        assert(r.isNullAt(r.fieldIndex("keep")))
+      }
+      dupTotal += nDup
+    }
+    assert(dupTotal > 0, "corpus has no duplicated chunks — degenerate")
+  }
+
   test("json props aggregation replays a scala json parse exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)
