@@ -290,6 +290,54 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The C4 TRANSFORM itself (not just the score): drop every
+    * duplicated 8-word chunk except its globally-first occurrence
+    * (order = (doc_id, position)) and emit the rebuilt text. The
+    * first-instance rule is an ARGMIN AGGREGATE (min struct(doc_id,
+    * pos) per chunk hash, map-side combinable) joined back on the same
+    * key — NOT a row_number window per hash, whose fan-in is unbounded
+    * when one boilerplate chunk occurs 10^9 times. What shuffles is
+    * (hash, doc_id, pos) triples — fixed-width integers, never text.
+    * Reassembly is map-side: the kept position list (small ints) joins
+    * back to the docs table and the clean text is re-sliced from the
+    * original words in place, so chunk strings never enter an
+    * exchange in either direction. The trailing partial chunk
+    * (n mod 8 words) is always kept. Docs whose every full chunk
+    * first occurred elsewhere rebuild to just their tail. */
+  def qChunkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val nc = floor(n / lit(W)).cast("int")
+    def chunkWords(p: Column): Column = slice(words, p * W + 1, lit(W))
+    val idx = when(nc >= 1, sequence(lit(0), nc - 1))
+      .otherwise(array().cast("array<int>"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val ex = docs
+      .select(col("doc_id"), explode(transform(idx, p => struct(
+        p.as("p"),
+        Hash64.md5_64(concat(lit("chunk|"),
+          concat_ws(" ", chunkWords(p)))).as("ch")))).as("c"))
+      .select(col("doc_id"), col("c.p").as("p"), col("c.ch").as("ch"))
+    val firsts = ex.groupBy(col("ch"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+    val kept = ex.join(firsts, "ch")
+      .where(col("doc_id") === col("f.doc_id") && col("p") === col("f.p"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"),
+        count(lit(1)).as("n_kept"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), n.cast("long").as("n_words"),
+        nc.cast("long").as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        concat_ws(" ", concat(
+          flatten(transform(coalesce(col("ps"),
+            array().cast("array<int>")), p => chunkWords(p))),
+          slice(words, nc * W + 1, n - nc * W))).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -311,7 +359,8 @@ object CurationQueries {
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_source_caps" -> (qSourceCaps _),
-    "q_chunk_dedup" -> (qChunkDedup _))
+    "q_chunk_dedup" -> (qChunkDedup _),
+    "q_chunk_rewrite" -> (qChunkRewrite _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -471,5 +520,33 @@ object CurationQueries {
          |  CASE WHEN d.n_chunks > 0 THEN d.n_dup / d.n_chunks <= 0.25 END
          |    AS keep
          |FROM t LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_chunk_rewrite" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) AS n,
+         |    len(string_split(text, ' ')) // 8 AS nc
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, u.i AS p,
+         |    ${md5u64(
+               "'chunk|' || list_aggregate(ws[u.i*8+1:u.i*8+8], " +
+               "'string_agg', ' ')")} AS ch
+         |  FROM x, unnest(generate_series(0, nc - 1)) AS u(i)),
+         |k AS (
+         |  SELECT doc_id, p, row_number() OVER (
+         |    PARTITION BY ch ORDER BY doc_id, p) AS rk
+         |  FROM c),
+         |g AS (
+         |  SELECT doc_id, list(p ORDER BY p) AS ps, count(*) AS n_kept
+         |  FROM k WHERE rk = 1 GROUP BY doc_id)
+         |SELECT x.doc_id, x.lang, x.n::BIGINT AS n_words,
+         |  x.nc::BIGINT AS n_chunks,
+         |  coalesce(g.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(array_to_string(list_concat(
+         |    flatten(list_transform(coalesce(g.ps, []),
+         |      p -> ws[p*8+1:p*8+8])),
+         |    ws[nc*8+1:n]), ' '), '') AS text_clean
+         |FROM x LEFT JOIN g USING (doc_id)
          |ORDER BY doc_id""".stripMargin)
 }

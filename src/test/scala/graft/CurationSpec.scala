@@ -276,6 +276,40 @@ class CurationSpec extends SparkSpec {
     assert(dupTotal > 0, "corpus has no duplicated chunks — degenerate")
   }
 
+  test("chunk rewrite keeps exactly the globally-first chunk instances") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // global first instance == lexicographically smallest (doc_id, p):
+    // a single ordered sweep reproduces the argmin rule
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nc = ws.length / 8
+      val keptChunks = (0 until nc).flatMap { p =>
+        val c = ws.slice(p * 8, p * 8 + 8)
+        if (seen.add(c.mkString(" "))) Some((p, c)) else None
+      }
+      val tail = ws.drop(nc * 8)
+      id -> (nc, keptChunks.length,
+        (keptChunks.flatMap(_._2) ++ tail).mkString(" "))
+    }.toMap
+    val rows = CurationQueries.qChunkRewrite(spark, sf).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val (nc, nKept, clean) = expect(r.getLong(0))
+      assert(r.getLong(r.fieldIndex("n_chunks")) == nc)
+      assert(r.getLong(r.fieldIndex("n_kept")) == nKept,
+        s"doc ${r.getLong(0)}")
+      assert(r.getString(r.fieldIndex("text_clean")) == clean,
+        s"doc ${r.getLong(0)}")
+    }
+    // the corpus must actually exercise the drop path
+    assert(expect.values.exists(v => v._2 < v._1),
+      "no doc lost a chunk — degenerate corpus")
+  }
+
   test("json props aggregation replays a scala json parse exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)
