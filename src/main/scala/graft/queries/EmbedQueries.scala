@@ -162,11 +162,124 @@ object EmbedQueries {
       .orderBy(col("a_id"), col("rank"))
   }
 
+  // ---- product quantization (the compressed-domain ANN tier) ---------
+
+  /** PQ building blocks (Jégou, Douze, Schmid 2011: "Product
+    * Quantization for Nearest Neighbor Search"): the 64-dim vector is
+    * split into M = 4 disjoint 16-dim subspaces, each with its own
+    * k = 16 codebook trained by the same 1.5-Lloyd + quantized-centroid
+    * recipe as the IVF coarse quantizer (init = vec_id 0..15's
+    * subvectors, round(avg+1e-9, 6) update), so both engines carry
+    * bit-identical codebooks and the per-subspace argmin (tie →
+    * smallest code) is exact. One pipeline trains all 4 subspaces at
+    * once: vectors explode to (vec_id, sub, svec) rows and every stage
+    * keys on `sub`, so adding subspaces changes a constant, not the
+    * plan. Returns (subvector table, trained codebooks, final codes).
+    * At corpus scale each stage is an equi-join/agg on (sub[, code]) —
+    * the codebook side is M×k rows and always broadcasts. */
+  private def pqParts(spark: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val M = 4; val D = 16
+    val ed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("xd"))
+    val es = ed.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(M - 1)), s => struct(
+        s.as("sub"), slice(col("xd"), s * D + 1, lit(D)).as("svec"))))
+        .as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val c0 = es.where(col("vec_id") < 16)
+      .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = es.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cid"),
+          d2Col(col("svec"), col("cvec")).as("d2"))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("cid"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("sub"), col("cid").as("code"), col("d2"))
+    }
+    val c1 = assign(c0).join(es, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code").as("cell"),
+        posexplode(col("svec")).as(Seq("dim0", "v")))
+      .groupBy(col("sub"), col("cell"), col("dim0"))
+      .agg(round(avg(col("v")) + 1e-9, 6).as("cv"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim0"), col("cv")))),
+        s => s.getField("cv")).as("cvec"))
+      .select(col("sub"), col("cell").as("cid"), col("cvec"))
+    val c1c = graft.core.Caches.cached(c1)
+    (es, c1c, assign(c1c))
+  }
+
+  /** round(d2·10⁶ + 10⁻³) → BIGINT: the micro-unit integer lattice
+    * (same recipe as the unigram-LM log-probs) — once each subspace
+    * distance is landed on it, every downstream accumulation is an
+    * order-independent exact integer sum on both engines. */
+  private def latU6(d2: Column): Column =
+    round(d2 * lit(1000000.0) + lit(1.0e-3), 0).cast("long")
+
+  /** PQ encoding: each vector compresses to 4 subspace codes (4×4 bits
+    * here; 4×log2(k) in general) plus its quantization error. This IS
+    * the stored representation the compressed-domain scan reads — at
+    * corpus scale the codes table is ~1/64th the width of the raw
+    * vectors, which is the reason PQ exists. recon_d2_u6 = Σ_sub
+    * ‖svec − c_code‖² on the micro-unit lattice (exact BIGINT sum). */
+  def qPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, fin) = pqParts(spark, dir)
+    fin.select(col("vec_id"), col("sub"), col("code"),
+      latU6(col("d2")).as("ld2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(when(col("sub") === 0, col("code"))).as("code0"),
+        max(when(col("sub") === 1, col("code"))).as("code1"),
+        max(when(col("sub") === 2, col("code"))).as("code2"),
+        max(when(col("sub") === 3, col("code"))).as("code3"),
+        sum(col("ld2")).as("recon_d2_u6"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: each query (vec_id < 20)
+    * computes an EXACT distance-lookup table to all M×k codebook
+    * entries (1280 rows total — always broadcast), lands it on the
+    * micro-unit lattice, and every database vector's approximate
+    * distance is the exact-integer sum of 4 table lookups keyed by its
+    * stored codes — the compressed-domain scan never touches a raw
+    * vector. This is exhaustive-ADC search (Jégou et al. §IV.A);
+    * composing the scan with q_ann_ivf's cell filter gives IVF-PQ, and
+    * the candidate side here moves only (vec_id, 4 small ints).
+    * Measured recall@3/@10/@50 of the true-L2 NN vs brute force at
+    * sf0.001: 0.30/0.45/0.75 (PqSpec) — 16 bits/vector is a 128:1
+    * compression; production raises k to 256 and reranks the ADC
+    * top-R with exact distances (the q_embed_topk tier). */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val (es, c1, fin) = pqParts(spark, dir)
+    val lut = es.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("sub"), col("svec").as("qs"))
+      .join(broadcast(c1), Seq("sub"))
+      .select(col("a_id"), col("sub"), col("cid").as("code"),
+        latU6(d2Col(col("qs"), col("cvec"))).as("ld2"))
+    val codes = fin.select(col("vec_id").as("b_id"), col("sub"), col("code"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("b_id") =!= col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("ld2")).as("adc_d2_u6"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("adc_d2_u6"), col("b_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("a_id"), col("b_id"), col("adc_d2_u6"), col("rank"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_label_stats" -> (qEmbedLabelStats _),
     "q_ivf_cells" -> (qIvfCells _),
-    "q_ann_ivf" -> (qAnnIvf _)
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_pq_codes" -> (qPqCodes _),
+    "q_ann_pq" -> (qAnnPq _)
   )
 
   /** Shared WITH-chain replaying the IVF build: double-cast vectors,
@@ -280,6 +393,87 @@ object EmbedQueries {
         |  round(avg(sqrt(list_sum(list_transform(embedding,
         |    x -> x::DOUBLE * x::DOUBLE)))), 6) AS mean_norm,
         |  round(avg(embedding[1]::DOUBLE), 6) AS mean_c1
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_pq_codes" -> (pqChain + """
+      |SELECT vec_id,
+      |  max(CASE WHEN sub = 0 THEN code END) AS code0,
+      |  max(CASE WHEN sub = 1 THEN code END) AS code1,
+      |  max(CASE WHEN sub = 2 THEN code END) AS code2,
+      |  max(CASE WHEN sub = 3 THEN code END) AS code3,
+      |  sum(round(d2 * 1000000 + 0.001, 0)::BIGINT)::BIGINT AS recon_d2_u6
+      |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "q_ann_pq" -> (pqChain + """,
+      |lut AS (
+      |  SELECT e.vec_id AS a_id, e.sub, c.cid AS code,
+      |    round(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(list_zip(e.svec, c.cvec),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+      |      (a, b) -> a + b) * 1000000 + 0.001, 0)::BIGINT AS ld2
+      |  FROM es e JOIN c1 c ON c.sub = e.sub
+      |  WHERE e.vec_id < 20),
+      |adc AS (
+      |  SELECT l.a_id, f.vec_id AS b_id,
+      |    sum(l.ld2)::BIGINT AS adc_d2_u6
+      |  FROM a2 f JOIN lut l ON l.sub = f.sub AND l.code = f.code
+      |  WHERE f.vec_id <> l.a_id
+      |  GROUP BY 1, 2),
+      |rkd AS (
+      |  SELECT a_id, b_id, adc_d2_u6,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY adc_d2_u6, b_id) AS rank
+      |  FROM adc)
+      |SELECT a_id, b_id, adc_d2_u6, rank FROM rkd WHERE rank <= 3
+      |ORDER BY a_id, rank""".stripMargin)
   )
+
+  /** Shared WITH-chain replaying the PQ codebook training: subspace
+    * explode, exact-argmin init assignment, quantized centroid update,
+    * final assignment `a2(vec_id, sub, code, d2)`. Same fold/quantize
+    * discipline as [[ivfChain]], keyed by `sub`. */
+  private lazy val pqChain: String =
+    """WITH ed AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xd
+      |  FROM embeddings),
+      |es AS (
+      |  SELECT vec_id, s.sub AS sub,
+      |    xd[s.sub*16+1 : s.sub*16+16] AS svec
+      |  FROM ed, (SELECT unnest(generate_series(0, 3)) AS sub) s),
+      |c0 AS (SELECT sub, vec_id AS cid, svec AS cvec
+      |  FROM es WHERE vec_id < 16),
+      |s1 AS (
+      |  SELECT e.vec_id, e.sub, c.cid,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(list_zip(e.svec, c.cvec),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM es e JOIN c0 c ON c.sub = e.sub),
+      |a1 AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |      row_number() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d2, cid) AS rk
+      |    FROM s1) WHERE rk = 1),
+      |m1 AS (
+      |  SELECT a1.sub, a1.code AS cell, d.i AS dim,
+      |    round(avg(e.svec[d.i]) + 1e-9, 6) AS cv
+      |  FROM a1 JOIN es e ON e.vec_id = a1.vec_id AND e.sub = a1.sub
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) d
+      |  GROUP BY 1, 2, 3),
+      |c1 AS (SELECT sub, cell AS cid, list(cv ORDER BY dim) AS cvec
+      |  FROM m1 GROUP BY 1, 2),
+      |s2 AS (
+      |  SELECT e.vec_id, e.sub, c.cid,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(list_zip(e.svec, c.cvec),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM es e JOIN c1 c ON c.sub = e.sub),
+      |a2 AS (
+      |  SELECT vec_id, sub, cid AS code, d2 FROM (
+      |    SELECT vec_id, sub, cid, d2,
+      |      row_number() OVER (PARTITION BY vec_id, sub
+      |        ORDER BY d2, cid) AS rk
+      |    FROM s2) WHERE rk = 1)""".stripMargin
+  // (lazy: referenced by `oracle` above; object-init order would
+  // otherwise read it before assignment)
 }
