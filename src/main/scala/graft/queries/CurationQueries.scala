@@ -338,6 +338,53 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic token-budget sampling: per language, keep documents
+    * in doc-hash order until the cumulative token count reaches the
+    * budget (here: half the language's token mass — self-scaling, so
+    * the rule is non-degenerate at every SF). A doc is kept iff the
+    * token sum of all docs BEFORE it (order = (hash, doc_id)) is under
+    * budget, so the kept set is a hash-prefix: reproducible, and stable
+    * in expectation under corpus growth.
+    *
+    * The scale shape is a TWO-LEVEL PREFIX SUM. A naive
+    * `sum over (partition by lang order by hash)` window sorts each
+    * language's entire corpus through one partition — unbounded fan-in
+    * at 10^9 docs/language. Instead: bucket = the hash's top-12-bit
+    * signed prefix (`shiftright(h, 52)` — arithmetic shift preserves
+    * signed order, so bucket order IS hash order); (lang × 4096)
+    * per-bucket token sums are a tiny agg whose running offsets
+    * broadcast; the doc-level prefix is a window partitioned by
+    * (lang, bucket) — fan-in n/4096, bounded and skew-free (hash
+    * buckets are uniform by construction). cum_before = bucket offset
+    * + in-bucket prefix, then the keep rule is a stateless filter.
+    * All arithmetic is exact BIGINT. */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        Hash64.md5_64(concat(lit("budget|"), col("doc_id").cast("string")))
+          .as("h"))
+      .withColumn("bk", shiftright(col("h"), 52).cast("int"))
+    val bh = d.groupBy(col("lang"), col("bk")).agg(sum(col("nt")).as("bt"))
+    val off = bh.select(col("lang"), col("bk"),
+      coalesce(sum(col("bt")).over(
+        W.partitionBy(col("lang")).orderBy(col("bk"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)).as("bko"))
+    val budget = bh.groupBy(col("lang")).agg(sum(col("bt")).as("t"))
+      .select(col("lang"), expr("t div 2").as("budget"))
+    val wd = W.partitionBy(col("lang"), col("bk"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    d.withColumn("inb", coalesce(sum(col("nt")).over(wd), lit(0L)))
+      .join(broadcast(off), Seq("lang", "bk"))
+      .join(broadcast(budget), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        (col("bko") + col("inb")).as("cum_before"), col("budget"))
+      .where(col("cum_before") < col("budget"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -360,7 +407,8 @@ object CurationQueries {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_source_caps" -> (qSourceCaps _),
     "q_chunk_dedup" -> (qChunkDedup _),
-    "q_chunk_rewrite" -> (qChunkRewrite _))
+    "q_chunk_rewrite" -> (qChunkRewrite _),
+    "q_token_budget" -> (qTokenBudget _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -548,5 +596,22 @@ object CurationQueries {
          |      p -> ws[p*8+1:p*8+8])),
          |    ws[nc*8+1:n]), ' '), '') AS text_clean
          |FROM x LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' '))::BIGINT AS nt,
+         |    ${signed(md5u64("'budget|' || doc_id::VARCHAR"))} AS h
+         |  FROM documents),
+         |b AS (SELECT lang, (sum(nt) // 2)::BIGINT AS budget
+         |  FROM d GROUP BY 1),
+         |c AS (
+         |  SELECT doc_id, lang, nt,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS cum_before
+         |  FROM d)
+         |SELECT c.doc_id, c.lang, c.nt AS n_tokens, c.cum_before, b.budget
+         |FROM c JOIN b USING (lang) WHERE c.cum_before < b.budget
          |ORDER BY doc_id""".stripMargin)
 }

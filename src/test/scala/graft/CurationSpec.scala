@@ -310,6 +310,53 @@ class CurationSpec extends SparkSpec {
       "no doc lost a chunk — degenerate corpus")
   }
 
+  test("token budget keeps exactly the half-mass hash prefix per language") {
+    val sf = "/root/testdata/sf0.001"
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(md).getLong(0)
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    // brute force: ONE signed-order prefix sum per language (the naive
+    // single window the two-level plan must reproduce exactly)
+    val expect: Map[Long, (Long, Long)] =
+      docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+        val budget = ds.map(_._3).sum / 2
+        var cum = 0L
+        ds.map(d => (h64(s"budget|${d._1}"), d._1, d._3))
+          .sortBy(t => (t._1, t._2)).toSeq
+          .flatMap { case (_, id, nt) =>
+            val keep = cum < budget
+            cum += nt
+            if (keep) Some(id -> (cum - nt, budget)) else None
+          }
+      }.toMap
+    val q = CurationQueries.qTokenBudget(spark, sf)
+    val rows = q.collect()
+    assert(rows.length == expect.size, "kept-set size diverged")
+    rows.foreach { r =>
+      val (cumB, budget) = expect(r.getLong(0))
+      assert(r.getLong(r.fieldIndex("cum_before")) == cumB,
+        s"doc ${r.getLong(0)} cum_before")
+      assert(r.getLong(r.fieldIndex("budget")) == budget)
+    }
+    // rule is non-degenerate both ways: some docs kept, some dropped
+    assert(rows.nonEmpty && rows.length < docs.length)
+    // the big-side window must be bucket-partitioned (bounded fan-in):
+    // every WindowExec over more than one partition key, none keyed by
+    // lang alone except the 4096-row bucket-offset window
+    val wins = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(wins.exists(_.length == 2),
+      "doc-level window lost its bucket partition key")
+  }
+
   test("json props aggregation replays a scala json parse exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)
