@@ -385,6 +385,48 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct 8-word chunks they share (same "chunk|" fingerprint
+    * domain as q_chunk_dedup/q_chunk_rewrite), plus each side's
+    * distinct-chunk count and the containment fraction
+    * shared / min(n_a, n_b) — the diagnostic a curation pass reads to
+    * find mirror domains and shared boilerplate before dedup.
+    *
+    * Scale shape: the corpus-side work is one explode → distinct
+    * (source, chunk-hash) — both fixed-width after the map-side hash —
+    * then a self equi-join ON THE CHUNK KEY. Output is bounded by
+    * sources², not docs²; a chunk shared by s sources contributes
+    * s·(s−1)/2 pairs, so production first drops stop-chunks above a
+    * document-frequency ceiling (the q_chunk_dedup counts are exactly
+    * that table). Counts are exact integers; containment is a single
+    * division of identical integers on both engines. */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val words = split(col("text"), " ")
+    val nc = floor(size(words) / lit(W)).cast("int")
+    val idx = when(nc >= 1, sequence(lit(0), nc - 1))
+      .otherwise(array().cast("array<int>"))
+    val e = Tables.documents(spark, dir)
+      .select(col("source"), explode(transform(idx, p =>
+        Hash64.md5_64(concat(lit("chunk|"),
+          concat_ws(" ", slice(words, p * W + 1, lit(W))))))).as("ch"))
+      .distinct()
+    val n = e.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val p = e.select(col("source").as("src_a"), col("ch"))
+      .join(e.select(col("source").as("src_b"), col("ch")), Seq("ch"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    p.join(n.select(col("source").as("src_a"), col("nd").as("n_a")),
+        Seq("src_a"))
+      .join(n.select(col("source").as("src_b"), col("nd").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        (col("shared") / least(col("n_a"), col("n_b"))).as("containment"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -408,7 +450,8 @@ object CurationQueries {
     "q_source_caps" -> (qSourceCaps _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_chunk_rewrite" -> (qChunkRewrite _),
-    "q_token_budget" -> (qTokenBudget _))
+    "q_token_budget" -> (qTokenBudget _),
+    "q_source_overlap" -> (qSourceOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -613,5 +656,28 @@ object CurationQueries {
          |  FROM d)
          |SELECT c.doc_id, c.lang, c.nt AS n_tokens, c.cum_before, b.budget
          |FROM c JOIN b USING (lang) WHERE c.cum_before < b.budget
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH x AS (
+         |  SELECT source, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) // 8 AS nc
+         |  FROM documents),
+         |e AS (
+         |  SELECT DISTINCT source,
+         |    ${signed(md5u64(
+              "'chunk|' || list_aggregate(ws[u.i*8+1:u.i*8+8], " +
+              "'string_agg', ' ')"))} AS ch
+         |  FROM x, unnest(generate_series(0, nc - 1)) AS u(i)),
+         |n AS (SELECT source, count(*)::BIGINT AS nd FROM e GROUP BY 1),
+         |p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*)::BIGINT AS shared
+         |  FROM e a JOIN e b ON a.ch = b.ch AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.shared, na.nd AS n_a, nb.nd AS n_b,
+         |  p.shared / least(na.nd, nb.nd) AS containment
+         |FROM p
+         |JOIN n na ON na.source = p.src_a
+         |JOIN n nb ON nb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin)
 }

@@ -357,6 +357,38 @@ class CurationSpec extends SparkSpec {
       "doc-level window lost its bucket partition key")
   }
 
+  test("source overlap matrix replays a brute-force chunk-set intersect") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    // per source: the set of distinct 8-word chunk STRINGS (hashing is
+    // injective here, so string sets reproduce the hash-set counts)
+    val sets: Map[String, Set[String]] = docs.groupBy(_._1).map {
+      case (src, ds) =>
+        src -> ds.flatMap { case (_, t) =>
+          val ws = t.split(" ", -1)
+          (0 until ws.length / 8).map(p =>
+            ws.slice(p * 8, p * 8 + 8).mkString(" "))
+        }.toSet
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+      shared = (sets(a) & sets(b)).size if shared > 0
+    } yield (a, b) -> (shared.toLong, sets(a).size.toLong,
+        sets(b).size.toLong)).toMap
+    val rows = CurationQueries.qSourceOverlap(spark, sf).collect()
+    assert(rows.length == expect.size, "pair-row count diverged")
+    rows.foreach { r =>
+      val (sh, na, nb) = expect((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == sh && r.getLong(3) == na && r.getLong(4) == nb,
+        s"pair ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getDouble(5) == sh.toDouble / math.min(na, nb))
+    }
+    assert(rows.nonEmpty, "no cross-source chunk sharing — degenerate")
+  }
+
   test("json props aggregation replays a scala json parse exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)
