@@ -152,6 +152,31 @@ object DedupQueries {
     minhashPairsFrom(sh, sig, BucketCap)
   }
 
+  /** Duplicate-cluster assembly: connected components of the verified
+    * MinHash pair graph ([[qMinhashLsh]]), every doc labeled with its
+    * component's min doc_id — the table a dedup pass filters on
+    * (`is_rep` keeps one doc per cluster). Propagation
+    * ([[graft.operators.Components.minLabel]], 8 rounds ≥ the dup
+    * graph's star-plus-bridges diameter) runs over edge ENDPOINTS only;
+    * the corpus's singletons join in label-free (left join + coalesce,
+    * no shuffle of non-duplicate docs into the iteration). The oracle
+    * replays the fixpoint as a recursive reachability CTE, so the gate
+    * also proves 8 rounds converged on this corpus. */
+  def qDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = qMinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val lbl = graft.operators.Components.minLabel(pairs, rounds = 8)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val full = docs.join(lbl.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val cs = full.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    full.join(cs, Seq("component"))
+      .select(col("doc_id"), col("component"), col("csize"),
+        (col("doc_id") === col("component")).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Inline (un-staged) MinHash+LSH over an arbitrary (doc_id, text)
     * corpus — DedupSpec drives degenerate corpora through both blowup
     * controls with this. */
@@ -607,6 +632,7 @@ object DedupQueries {
 
   val all: Map[String, CoreQueries.Q] = Map(
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_dup_components" -> (qDupComponents _),
     "q_simhash" -> (qSimhash _),
     "q_simhash64" -> (qSimhash64 _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -632,8 +658,11 @@ object DedupQueries {
   private def md5u64(e: String): String =
     s"(('0x' || substr(md5($e), 1, 16))::UBIGINT)::HUGEINT"
 
-  val oracle: Map[String, String] = Map(
-    "q_minhash_lsh" -> {
+  /** The q_minhash_lsh replay up to the verified pair set, as a shared
+    * WITH-chain ending in CTE `pairs(a_id, b_id, inter, nsa, nsb,
+    * jaccard)`. Declared RECURSIVE so q_dup_components can append its
+    * reachability CTE. */
+  private lazy val minhashPairsSql: String = {
       // 16 splitmix64 plane rehashes of the shingle hash, as lateral
       // column aliases (6 steps each — SqlGen.mixCols), min'd per doc
       // in SIGNED domain to mirror Spark's min over BIGINT
@@ -652,7 +681,7 @@ object DedupQueries {
       val kEq = (0 until RowsPerBand).map(r => s"x.k$r = y.k$r")
         .mkString(" AND ")
       val kList = (0 until RowsPerBand).map(r => s"k$r").mkString(", ")
-      s"""WITH words AS (
+      s"""WITH RECURSIVE words AS (
         |  SELECT doc_id, w, pos FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |      generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -698,19 +727,42 @@ object DedupQueries {
         |  FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.a_id
         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shh = sa.shh
-        |  GROUP BY c.a_id, c.b_id)
-        |SELECT c.a_id, c.b_id, coalesce(i.inter, 0) AS inter,
-        |  na.n AS nsa, nb.n AS nsb,
-        |  coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
-        |    AS jaccard
-        |FROM cand c
-        |LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
-        |JOIN ns na ON na.doc_id = c.a_id
-        |JOIN ns nb ON nb.doc_id = c.b_id
-        |WHERE coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
-        |  >= 0.5
-        |ORDER BY c.a_id, c.b_id""".stripMargin
-    },
+        |  GROUP BY c.a_id, c.b_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id, coalesce(i.inter, 0) AS inter,
+        |    na.n AS nsa, nb.n AS nsb,
+        |    coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
+        |      AS jaccard
+        |  FROM cand c
+        |  LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+        |  JOIN ns na ON na.doc_id = c.a_id
+        |  JOIN ns nb ON nb.doc_id = c.b_id
+        |  WHERE coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
+        |    >= 0.5)""".stripMargin
+    }
+
+  val oracle: Map[String, String] = Map(
+    "q_minhash_lsh" -> (minhashPairsSql + """
+      |SELECT a_id, b_id, inter, nsa, nsb, jaccard FROM pairs
+      |ORDER BY a_id, b_id""".stripMargin),
+    "q_dup_components" -> (minhashPairsSql + """,
+      |edges AS (
+      |  SELECT a_id AS s, b_id AS d FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT s AS id, s AS l FROM edges
+      |  UNION
+      |  SELECT e.d AS id, r.l FROM reach r JOIN edges e ON e.s = r.id),
+      |lbl AS (SELECT id, min(l) AS component FROM reach GROUP BY id),
+      |full_lbl AS (
+      |  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+      |cs AS (SELECT component, count(*)::BIGINT AS csize
+      |  FROM full_lbl GROUP BY 1)
+      |SELECT f.doc_id, f.component, c.csize,
+      |  (f.doc_id = f.component) AS is_rep
+      |FROM full_lbl f JOIN cs c USING (component)
+      |ORDER BY doc_id""".stripMargin),
     "q_simhash" -> {
       val bitSums = (0 until 16).map(j =>
         s"sum(CASE WHEN ascii(substr(md5(w), ${j + 1}, 1)) % 2 = 1 " +

@@ -322,4 +322,51 @@ class DedupSpec extends SparkSpec {
     }
     info(s"${dupeGroups.size} exact-duplicate groups all single-component")
   }
+
+  test("min-label components equal union-find on a seeded random graph") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200 nodes, 160 seeded edges → many components of varied shape
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 160)
+      .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // brute-force union-find
+    val parent = Array.tabulate(200)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // component label = min node id in the component
+        val root = find(v.toInt)
+        (0 until 200).filter(u => find(u) == root).min.toLong
+      }).toMap
+    val pairs = edges.toDF("a_id", "b_id")
+    // a 200-node random graph's diameter can exceed 8 — give the test
+    // enough rounds that convergence is guaranteed, then check equality
+    val got = graft.operators.Components.minLabel(pairs, rounds = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (v, c) =>
+      assert(got(v) == c, s"node $v")
+    }
+    assert(expect.values.toSet.size > 1, "degenerate: single component")
+  }
+
+  test("min-label rounds bound: a 12-hop path converges at rounds >= " +
+    "distance and not before") {
+    import spark.implicits._
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val pairs = path.toDF("a_id", "b_id")
+    val under = graft.operators.Components.minLabel(pairs, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(under(12L) != 0L, "4 rounds cannot reach 12 hops")
+    val enough = graft.operators.Components.minLabel(pairs, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 12L).forall(v => enough(v) == 0L))
+  }
 }
