@@ -273,13 +273,61 @@ object EmbedQueries {
       .orderBy(col("a_id"), col("rank"))
   }
 
+  /** IVF-PQ — the production ANN composition (Jégou et al. §V, the
+    * Faiss IVFPQ layout): the IVF coarse quantizer prunes the corpus to
+    * nprobe = 2 cells per query, and ONLY those candidates are ranked,
+    * in the compressed domain, by the PQ ADC lattice sum. At corpus
+    * scale this is the whole point of the pairing — the scan touches
+    * ~nprobe/k of the codes table (cell-bucketed equi-join) and reads 4
+    * small ints per candidate instead of 64 floats. Both codebooks come
+    * from the shared quantized-Lloyd recipe, so the full composition
+    * stays hash-exact under the DuckDB replay (ivf chain + pq_ chain in
+    * one statement). */
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (edIvf, c1Ivf, finIvf) = ivfParts(spark, dir)
+    val (es, c1Pq, finPq) = pqParts(spark, dir)
+    val q = edIvf.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("xd").as("qx"))
+    val pw = Window.partitionBy(col("a_id"))
+      .orderBy(col("d2"), col("cid"))
+    val probes = q.join(broadcast(c1Ivf), lit(true))
+      .select(col("a_id"), col("cid"),
+        d2Col(col("qx"), col("cvec")).as("d2"))
+      .withColumn("prk", row_number().over(pw))
+      .where(col("prk") <= 2)
+      .select(col("a_id"), col("cid"))
+    val cand = probes
+      .join(finIvf.select(col("vec_id").as("b_id"), col("cell")),
+        col("cell") === col("cid"))
+      .where(col("b_id") =!= col("a_id"))
+      .select(col("a_id"), col("b_id"))
+    val lut = es.where(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("sub"), col("svec").as("qs"))
+      .join(broadcast(c1Pq), Seq("sub"))
+      .select(col("a_id"), col("sub"), col("cid").as("code"),
+        latU6(d2Col(col("qs"), col("cvec"))).as("ld2"))
+    val codes = finPq.select(col("vec_id").as("b_id"), col("sub"),
+      col("code"))
+    val adc = cand.join(codes, Seq("b_id"))
+      .join(broadcast(lut), Seq("a_id", "sub", "code"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("ld2")).as("adc_d2_u6"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("adc_d2_u6"), col("b_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("a_id"), col("b_id"), col("adc_d2_u6"), col("rank"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
   val all: Map[String, CoreQueries.Q] = Map(
     "q_embed_topk" -> (qEmbedTopk _),
     "q_embed_label_stats" -> (qEmbedLabelStats _),
     "q_ivf_cells" -> (qIvfCells _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_pq_codes" -> (qPqCodes _),
-    "q_ann_pq" -> (qAnnPq _)
+    "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _)
   )
 
   /** Shared WITH-chain replaying the IVF build: double-cast vectors,
@@ -423,57 +471,104 @@ object EmbedQueries {
       |      ORDER BY adc_d2_u6, b_id) AS rank
       |  FROM adc)
       |SELECT a_id, b_id, adc_d2_u6, rank FROM rkd WHERE rank <= 3
+      |ORDER BY a_id, rank""".stripMargin),
+    "q_ann_ivfpq" -> (ivfChain + ",\n" + pqCtes("pq_") + """,
+      |qv AS (SELECT vec_id AS a_id, xd FROM ed WHERE vec_id < 20),
+      |ps AS (
+      |  SELECT q.a_id, c.cid,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(list_zip(q.xd, c.cvec),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM qv q CROSS JOIN c1 c),
+      |probes AS (
+      |  SELECT a_id, cid FROM (
+      |    SELECT a_id, cid,
+      |      row_number() OVER (PARTITION BY a_id ORDER BY d2, cid) AS prk
+      |    FROM ps) WHERE prk <= 2),
+      |cand AS (
+      |  SELECT p.a_id, f.vec_id AS b_id
+      |  FROM probes p JOIN a2 f ON f.cell = p.cid
+      |  WHERE f.vec_id <> p.a_id),
+      |lut AS (
+      |  SELECT e.vec_id AS a_id, e.sub, c.cid AS code,
+      |    round(list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(list_zip(e.svec, c.cvec),
+      |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
+      |      (a, b) -> a + b) * 1000000 + 0.001, 0)::BIGINT AS ld2
+      |  FROM pq_es e JOIN pq_c1 c ON c.sub = e.sub
+      |  WHERE e.vec_id < 20),
+      |adc AS (
+      |  SELECT cd.a_id, cd.b_id, sum(l.ld2)::BIGINT AS adc_d2_u6
+      |  FROM cand cd
+      |  JOIN pq_a2 f ON f.vec_id = cd.b_id
+      |  JOIN lut l ON l.a_id = cd.a_id AND l.sub = f.sub
+      |    AND l.code = f.code
+      |  GROUP BY 1, 2),
+      |rkd AS (
+      |  SELECT a_id, b_id, adc_d2_u6,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY adc_d2_u6, b_id) AS rank
+      |  FROM adc)
+      |SELECT a_id, b_id, adc_d2_u6, rank FROM rkd WHERE rank <= 3
       |ORDER BY a_id, rank""".stripMargin)
   )
 
-  /** Shared WITH-chain replaying the PQ codebook training: subspace
+  /** The PQ-training CTE list (everything after `ed`), with every CTE
+    * name carrying `p` as prefix so the chain can coexist with
+    * [[ivfChain]]'s CTEs in one statement (q_ann_ivfpq): subspace
     * explode, exact-argmin init assignment, quantized centroid update,
-    * final assignment `a2(vec_id, sub, code, d2)`. Same fold/quantize
-    * discipline as [[ivfChain]], keyed by `sub`. */
-  private lazy val pqChain: String =
-    """WITH ed AS (
-      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xd
-      |  FROM embeddings),
-      |es AS (
+    * final assignment `${p}a2(vec_id, sub, code, d2)`. Same
+    * fold/quantize discipline as [[ivfChain]], keyed by `sub`. */
+  private def pqCtes(p: String): String =
+    s"""${p}es AS (
       |  SELECT vec_id, s.sub AS sub,
       |    xd[s.sub*16+1 : s.sub*16+16] AS svec
       |  FROM ed, (SELECT unnest(generate_series(0, 3)) AS sub) s),
-      |c0 AS (SELECT sub, vec_id AS cid, svec AS cvec
-      |  FROM es WHERE vec_id < 16),
-      |s1 AS (
+      |${p}c0 AS (SELECT sub, vec_id AS cid, svec AS cvec
+      |  FROM ${p}es WHERE vec_id < 16),
+      |${p}s1 AS (
       |  SELECT e.vec_id, e.sub, c.cid,
       |    list_reduce(list_prepend(0.0::DOUBLE,
       |      list_transform(list_zip(e.svec, c.cvec),
       |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
       |      (a, b) -> a + b) AS d2
-      |  FROM es e JOIN c0 c ON c.sub = e.sub),
-      |a1 AS (
+      |  FROM ${p}es e JOIN ${p}c0 c ON c.sub = e.sub),
+      |${p}a1 AS (
       |  SELECT vec_id, sub, cid AS code FROM (
       |    SELECT vec_id, sub, cid,
       |      row_number() OVER (PARTITION BY vec_id, sub
       |        ORDER BY d2, cid) AS rk
-      |    FROM s1) WHERE rk = 1),
-      |m1 AS (
+      |    FROM ${p}s1) WHERE rk = 1),
+      |${p}m1 AS (
       |  SELECT a1.sub, a1.code AS cell, d.i AS dim,
       |    round(avg(e.svec[d.i]) + 1e-9, 6) AS cv
-      |  FROM a1 JOIN es e ON e.vec_id = a1.vec_id AND e.sub = a1.sub
+      |  FROM ${p}a1 a1 JOIN ${p}es e
+      |    ON e.vec_id = a1.vec_id AND e.sub = a1.sub
       |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) d
       |  GROUP BY 1, 2, 3),
-      |c1 AS (SELECT sub, cell AS cid, list(cv ORDER BY dim) AS cvec
-      |  FROM m1 GROUP BY 1, 2),
-      |s2 AS (
+      |${p}c1 AS (SELECT sub, cell AS cid, list(cv ORDER BY dim) AS cvec
+      |  FROM ${p}m1 GROUP BY 1, 2),
+      |${p}s2 AS (
       |  SELECT e.vec_id, e.sub, c.cid,
       |    list_reduce(list_prepend(0.0::DOUBLE,
       |      list_transform(list_zip(e.svec, c.cvec),
       |        p -> (p[1] - p[2]) * (p[1] - p[2]))),
       |      (a, b) -> a + b) AS d2
-      |  FROM es e JOIN c1 c ON c.sub = e.sub),
-      |a2 AS (
+      |  FROM ${p}es e JOIN ${p}c1 c ON c.sub = e.sub),
+      |${p}a2 AS (
       |  SELECT vec_id, sub, cid AS code, d2 FROM (
       |    SELECT vec_id, sub, cid, d2,
       |      row_number() OVER (PARTITION BY vec_id, sub
       |        ORDER BY d2, cid) AS rk
-      |    FROM s2) WHERE rk = 1)""".stripMargin
-  // (lazy: referenced by `oracle` above; object-init order would
-  // otherwise read it before assignment)
+      |    FROM ${p}s2) WHERE rk = 1)""".stripMargin
+
+  /** Standalone PQ replay: `ed` + the unprefixed CTE list. (lazy:
+    * referenced by `oracle` above; object-init order would otherwise
+    * read it before assignment) */
+  private lazy val pqChain: String =
+    """WITH ed AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS xd
+      |  FROM embeddings),
+      |""".stripMargin + pqCtes("")
 }

@@ -100,6 +100,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ distances agree with the standalone ADC arithmetic") {
+    val (books, fin) = trained
+    val queries = vecs.filter(_._1 < 20).toMap
+    val rows = EmbedQueries.qAnnIvfPq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val exp = (0 until M).map { s =>
+        latU6(d2(queries(a)(s), books(s)(fin(b)(s)._1)))
+      }.sum
+      assert(r.getLong(2) == exp, s"pair ($a,$b) adc_d2_u6")
+    }
+    // ranked shape: ranks are 1..n (n <= 3; a probed cell pair may
+    // hold fewer than 3 candidates), self excluded
+    rows.groupBy(_.getLong(0)).foreach { case (a, g) =>
+      val rks = g.map(_.getLong(3)).sorted
+      assert(rks.sameElements(1L to rks.length))
+      assert(rks.length <= 3)
+      assert(!g.exists(_.getLong(1) == a))
+    }
+  }
+
   test("ADC recall@R vs exact-L2 truth clears the coarse-codebook floor") {
     // recall@R (Jégou et al. §V): fraction of queries whose TRUE
     // nearest neighbor appears in the ADC top-R. The 4×16 codebook is
