@@ -119,32 +119,60 @@ object CurationQueries {
     * Every metric is ROW-LOCAL array-HOF work — the physical plan is
     * scan → project (+ the gate's ordered output), zero exchange — which
     * is the only shape repetition filtering can take at 100 TB: it is
-    * embarrassingly parallel and must not shuffle. Counting is
-    * O(n·distinct) string compares per doc inside whole-stage codegen
-    * (docs are bounded, ~100 words). Every fraction is a single division
-    * of exact integers → bit-identical doubles on both engines, no
-    * rounding. Top-gram ties break to the lexicographically GREATEST
-    * gram (struct max = (cnt, gram) lexicographic; oracle: ORDER BY cnt
-    * DESC, gram DESC). Single-word docs emit NULL bigram metrics on both
-    * sides. */
+    * embarrassingly parallel and must not shuffle. Top-gram counting is
+    * a SORTED RUN-LENGTH FOLD: array_sort + one aggregate() pass, so a
+    * doc costs O(n log n) comparisons. (The first cut counted each
+    * distinct gram with a nested filter() — O(n²) lambda invocations,
+    * and because HOF lambdas evaluate INTERPRETED, every inlined
+    * sub-expression (the split, the element_at) re-ran per invocation:
+    * O(n³) string work per doc, 800+ s of CPU on one sfbig partition.
+    * The arrays are therefore materialized as real columns first —
+    * lambda bodies then touch only O(1) attribute references.) Every
+    * fraction is a single division of exact integers → bit-identical
+    * doubles on both engines, no rounding. Top-gram ties break to the
+    * lexicographically GREATEST gram (on the ascending-sorted array an
+    * equal-count later run is the greater gram, so `>=` on the running
+    * best reproduces the (cnt, gram) struct-max; oracle: ORDER BY cnt
+    * DESC, gram DESC). Single-word docs emit NULL bigram metrics on
+    * both sides. */
   def qGopherRepetition(spark: SparkSession, dir: String): DataFrame = {
-    def top(arr: Column): Column =
-      array_max(transform(array_distinct(arr), g =>
-        struct(size(filter(arr, x => x === g)).as("cnt"), g.as("g"))))
-    val words = split(col("text"), " ")
-    val n = size(words)
-    // bigrams via indexed transform over the first n-1 words (slice is
-    // empty for n = 1 — avoids sequence(1, n-1), which DESCENDS there)
-    val bigrams = transform(slice(words, lit(1), n - 1), (w, i) =>
-      concat(w, lit(" "), element_at(words, i + 2)))
+    // max-count gram of arr via sorted run-length fold; NULL for empty
+    def top(arr: Column): Column = {
+      val st0 = struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("cnt"), lit("").as("g"))
+      val folded = aggregate(arr, st0, (st, x) => {
+        val run2 = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        val better = run2 > st.getField("cnt") ||
+          (run2 === st.getField("cnt") && x >= st.getField("g"))
+        struct(x.as("prev"), run2.as("run"),
+          when(better, run2).otherwise(st.getField("cnt")).as("cnt"),
+          when(better, x).otherwise(st.getField("g")).as("g"))
+      })
+      when(size(arr) >= 1,
+        struct(folded.getField("cnt").as("cnt"), folded.getField("g").as("g")))
+    }
+    val n = size(col("ws"))
     val ttr = col("ndw") / col("n")
     val twcf = col("tw.cnt") * length(col("tw.g")) / col("sum_chars")
     val dupf = lit(1) - col("ndb") / (col("n") - 1)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), n.as("n"),
-        aggregate(words, lit(0), (a, x) => a + length(x)).as("sum_chars"),
-        size(array_distinct(words)).as("ndw"), top(words).as("tw"),
-        size(array_distinct(bigrams)).as("ndb"), top(bigrams).as("tb"))
+      // stage 1: the word array ONCE as a column
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      // stage 2: bigram array + sorted copies as columns (lambda bodies
+      // below then reference attributes, never recompute arrays).
+      // bigrams via indexed transform over the first n-1 words (slice
+      // is empty for n = 1 — avoids sequence(1, n-1), which DESCENDS)
+      .select(col("doc_id"), col("lang"), col("ws"),
+        transform(slice(col("ws"), lit(1), n - 1), (w, i) =>
+          concat(w, lit(" "), element_at(col("ws"), i + 2))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("ws"), col("bg"),
+        array_sort(col("ws")).as("wss"), array_sort(col("bg")).as("bgs"))
+      .select(col("doc_id"), col("lang"), size(col("ws")).as("n"),
+        aggregate(col("ws"), lit(0), (a, x) => a + length(x))
+          .as("sum_chars"),
+        size(array_distinct(col("ws"))).as("ndw"), top(col("wss")).as("tw"),
+        size(array_distinct(col("bg"))).as("ndb"), top(col("bgs")).as("tb"))
       .select(col("doc_id"), col("lang"), col("n").cast("long").as("n_words"),
         ttr.as("ttr"),
         col("tw.g").as("top_word"),

@@ -661,7 +661,11 @@ object DedupQueries {
   /** The q_minhash_lsh replay up to the verified pair set, as a shared
     * WITH-chain ending in CTE `pairs(a_id, b_id, inter, nsa, nsb,
     * jaccard)`. Declared RECURSIVE so q_dup_components can append its
-    * reachability CTE. */
+    * reachability CTE; `pairs` is MATERIALIZED because that CTE's
+    * consumers reference it more than once and DuckDB otherwise
+    * inlines the whole 16-rehash chain per reference (the sfbig check
+    * went from >16 min to one chain evaluation, ~4.5 min, with the
+    * hint). */
   private lazy val minhashPairsSql: String = {
       // 16 splitmix64 plane rehashes of the shingle hash, as lateral
       // column aliases (6 steps each — SqlGen.mixCols), min'd per doc
@@ -728,7 +732,7 @@ object DedupQueries {
         |  JOIN sh sa ON sa.doc_id = c.a_id
         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shh = sa.shh
         |  GROUP BY c.a_id, c.b_id),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT c.a_id, c.b_id, coalesce(i.inter, 0) AS inter,
         |    na.n AS nsa, nb.n AS nsb,
         |    coalesce(i.inter, 0) / (na.n + nb.n - coalesce(i.inter, 0))
@@ -746,7 +750,7 @@ object DedupQueries {
       |SELECT a_id, b_id, inter, nsa, nsb, jaccard FROM pairs
       |ORDER BY a_id, b_id""".stripMargin),
     "q_dup_components" -> (minhashPairsSql + """,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT a_id AS s, b_id AS d FROM pairs
       |  UNION SELECT b_id, a_id FROM pairs),
       |reach AS (
