@@ -52,7 +52,11 @@ class ShuffleTallySpec extends SparkSpec {
     // round-5 addition: the embedding near-dup scale path is the
     // battery's #3 shuffler at sf0.1 (10.4 MB) — pin it from birth
     // rather than repeating the resume query's history
-    "q_embed_neardup_lsh" -> 0.81)
+    "q_embed_neardup_lsh" -> 0.81,
+    // round-5 addition: the components query is the battery's #2 warm
+    // time (embedded minhash verify + 8 propagation rounds) — pin its
+    // steady-state bytes from birth
+    "q_dup_components" -> 0.61)
 
   test("top-shuffle queries stay inside their byte envelopes at sf0.01") {
     val sf = "/root/testdata/sf0.01"
