@@ -455,6 +455,22 @@ object CurationQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** BPE tokenizer-training merges ([[graft.operators.Bpe]]): the first
+    * 3 merge rounds over the corpus's tf-weighted word-frequency table,
+    * one row per round — (round, a, b, cnt, merged). The corpus-scale
+    * work is the single word-frequency aggregation; every round after
+    * that is vocab-sized (pair-count agg + top-1 + broadcast-rewrite,
+    * no driver collect). The oracle unrolls the 3 rounds as chained
+    * CTEs, reproducing greedy left-to-right merging through the same
+    * delimiter-wrapped replace() both engines implement identically. */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wf = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    graft.operators.Bpe.mergeRounds(wf, 3)
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -479,7 +495,8 @@ object CurationQueries {
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_chunk_rewrite" -> (qChunkRewrite _),
     "q_token_budget" -> (qTokenBudget _),
-    "q_source_overlap" -> (qSourceOverlap _))
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_bpe_merges" -> (qBpeMerges _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -707,5 +724,38 @@ object CurationQueries {
          |FROM p
          |JOIN n na ON na.source = p.src_a
          |JOIN n nb ON nb.source = p.src_b
-         |ORDER BY src_a, src_b""".stripMargin)
+         |ORDER BY src_a, src_b""".stripMargin,
+    "q_bpe_merges" -> {
+      def round(r: Int): String =
+        s"""p$r AS (
+           |  SELECT y.a, y.b, sum(y.tf)::BIGINT AS cnt FROM (
+           |    SELECT tf, syms[t.i] AS a, syms[t.i + 1] AS b
+           |    FROM s${r - 1},
+           |      unnest(generate_series(1, len(syms) - 1)) AS t(i)) y
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, cnt FROM p$r
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$r AS (
+           |  SELECT w, tf, str,
+           |    string_split(substr(str, 2, len(str) - 2), '||') AS syms
+           |  FROM (
+           |    SELECT s.w, s.tf,
+           |      replace(s.str, '|' || b.a || '||' || b.b || '|',
+           |        '|' || b.a || b.b || '|') AS str
+           |    FROM s${r - 1} s, b$r b))""".stripMargin
+      s"""WITH wf AS (
+         |  SELECT w, count(*)::BIGINT AS tf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |s0 AS (SELECT w, tf,
+         |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS str,
+         |  string_split(w, '') AS syms FROM wf),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT 1 AS round, a, b, cnt, a || b AS merged FROM b1
+         |UNION ALL SELECT 2, a, b, cnt, a || b FROM b2
+         |UNION ALL SELECT 3, a, b, cnt, a || b FROM b3
+         |ORDER BY round""".stripMargin
+    })
 }

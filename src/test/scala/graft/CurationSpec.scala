@@ -389,6 +389,66 @@ class CurationSpec extends SparkSpec {
     assert(rows.nonEmpty, "no cross-source chunk sharing — degenerate")
   }
 
+  // greedy left-to-right non-overlapping merge of (a, b) in syms
+  private def bpeMergeOnce(syms: List[String], a: String, b: String)
+  : List[String] = syms match {
+    case x :: y :: rest if x == a && y == b =>
+      (a + b) :: bpeMergeOnce(rest, a, b)
+    case x :: rest => x :: bpeMergeOnce(rest, a, b)
+    case Nil => Nil
+  }
+
+  private def bpeBrute(wf: Seq[(String, Long)], k: Int)
+  : Seq[(Int, String, String, Long)] = {
+    var vocab = wf.map { case (w, tf) => (w.split("").toList, tf) }
+    (1 to k).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, tf) =>
+        syms.zip(syms.drop(1)).foreach(p =>
+          counts(p) = counts.getOrElse(p, 0L) + tf)
+      }
+      val ((a, b), cnt) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      vocab = vocab.map { case (syms, tf) => (bpeMergeOnce(syms, a, b), tf) }
+      (r, a, b, cnt)
+    }
+  }
+
+  test("BPE merge rounds replay a brute-force greedy trainer exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val wf = graft.core.Tables.documents(spark, sf)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val expect = bpeBrute(wf, 3)
+    val rows = CurationQueries.qBpeMerges(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.zip(expect).foreach { case (r, (rd, a, b, cnt)) =>
+      assert(r.getInt(0) == rd)
+      assert(r.getString(1) == a && r.getString(2) == b,
+        s"round $rd pair: got (${r.getString(1)},${r.getString(2)}) " +
+          s"expected ($a,$b)")
+      assert(r.getLong(3) == cnt, s"round $rd count")
+      assert(r.getString(4) == a + b)
+    }
+  }
+
+  test("BPE greedy rewrite handles overlapping runs (aaa + (a,a) -> aa,a)") {
+    import spark.implicits._
+    // 'aaaa' merges to aa,aa; 'aaa' to aa,a — the overlap case the
+    // delimiter-wrapped replace must reproduce. Weight 'aaaa' so (a,a)
+    // wins round 1, then (aa,aa) wins round 2 via the 'aaaa' words.
+    val wf = Seq(("aaaa", 10L), ("aaa", 3L), ("ab", 1L)).toDF("w", "tf")
+    val rows = graft.operators.Bpe.mergeRounds(wf, 2).collect()
+    // round 1: pair (a,a) count = 10*3 + 3*2 = 36
+    assert(rows(0).getString(1) == "a" && rows(0).getString(2) == "a")
+    assert(rows(0).getLong(3) == 36L)
+    // after rewrite: aaaa -> [aa,aa], aaa -> [aa,a], ab -> [a,b]
+    // round 2 pairs: (aa,aa)=10, (aa,a)=3, (a,b)=1 -> (aa,aa) wins
+    assert(rows(1).getString(1) == "aa" && rows(1).getString(2) == "aa")
+    assert(rows(1).getLong(3) == 10L)
+  }
+
   test("json props aggregation replays a scala json parse exactly") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.core.Tables.events(spark, sf)

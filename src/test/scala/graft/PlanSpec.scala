@@ -25,11 +25,13 @@ class PlanSpec extends SparkSpec {
 
   // The only queries allowed a BroadcastNestedLoopJoin: each scores a
   // CONSTANT-size broadcast side against the big side (all-pairs geo
-  // anchors, the 20-row top-k query set, the k=16 IVF centroids, the
-  // 1-row corpus-total scalar under the unigram LM) — points×k shapes
-  // where k is a query constant, not data.
+  // anchors, the 20-row top-k query set, the k=16 IVF centroids — also
+  // the probe stage of IVF-PQ, the 1-row corpus-total scalar under the
+  // unigram LM, the 1-row winning-pair broadcast of each BPE merge
+  // round) — points×k shapes where k is a query constant, not data.
   private val bnljAllowed = Set("q_geo_pairs", "q_embed_topk",
-    "q_embed_neardup", "q_ivf_cells", "q_ann_ivf", "q_unigram_logprob")
+    "q_embed_neardup", "q_ivf_cells", "q_ann_ivf", "q_unigram_logprob",
+    "q_ann_ivfpq", "q_bpe_merges")
 
   test("no query plans a CartesianProduct, and nested-loop joins only " +
     "appear where a constant-size side justifies them") {
