@@ -44,11 +44,10 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("tf")).as("cnt"))
 
-  /** Runs `k` merge rounds over a word-frequency table `wf(w, tf)`.
-    * Returns one row per round: (round, a, b, cnt, merged) — the
-    * winning pair (tie → smallest (a, b) at max count) and its
-    * tf-weighted corpus count at merge time. */
-  def mergeRounds(wf: DataFrame, k: Int): DataFrame = {
+  /** The k training rounds: per-round winner rows and the final
+    * merged-symbol vocab. */
+  private def train(wf: DataFrame, k: Int)
+  : (Seq[DataFrame], DataFrame) = {
     val chars = filter(split(col("w"), ""), s => length(s) > 0)
     var vocab = wf.select(col("w"), col("tf"),
       concat(lit("|"), array_join(chars, "||"), lit("|")).as("str"),
@@ -68,6 +67,19 @@ object Bpe {
       best.select(lit(r).as("round"), col("a"), col("b"), col("cnt"),
         concat(col("a"), col("b")).as("merged"))
     }
-    rounds.reduce(_.union(_)).orderBy(col("round"))
+    (rounds, vocab)
   }
+
+  /** Runs `k` merge rounds over a word-frequency table `wf(w, tf)`.
+    * Returns one row per round: (round, a, b, cnt, merged) — the
+    * winning pair (tie → smallest (a, b) at max count) and its
+    * tf-weighted corpus count at merge time. */
+  def mergeRounds(wf: DataFrame, k: Int): DataFrame =
+    train(wf, k)._1.reduce(_.union(_)).orderBy(col("round"))
+
+  /** The trained vocab after `k` rounds: (w, tf, syms) — the table a
+    * tokenizer-APPLICATION pass joins against (vocab-sized, so the
+    * join broadcasts; the corpus side never re-tokenizes a word). */
+  def trainedVocab(wf: DataFrame, k: Int): DataFrame =
+    train(wf, k)._2.select(col("w"), col("tf"), col("syms"))
 }

@@ -471,6 +471,36 @@ object CurationQueries {
     graft.operators.Bpe.mergeRounds(wf, 3)
   }
 
+  /** Tokenizer APPLICATION: segment every document with the 3-merge BPE
+    * vocab ([[qBpeMerges]]'s training) and report per-doc token counts
+    * and the chars-per-token compression ratio — the statistic a
+    * data-mixture pass budgets with. The scale shape is the point: the
+    * trained vocab (w → merged symbol count) is VOCAB-sized, so the
+    * corpus join broadcasts, and no document is ever re-segmented
+    * per-word — segmentation happened once per DISTINCT word during
+    * training. Counts are exact BIGINTs; the ratio is one division of
+    * identical integers on both engines. */
+  def qBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val tok = graft.operators.Bpe.trainedVocab(wf, 3)
+      .select(col("w"), size(col("syms")).cast("long").as("ntw"),
+        length(col("w")).cast("long").as("ncw"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(tok, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntw")).as("n_tokens"),
+        sum(col("ncw")).as("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        (col("n_chars") / col("n_tokens")).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
 
   private val U63 = BigInt(1) << 63
@@ -496,7 +526,8 @@ object CurationQueries {
     "q_chunk_rewrite" -> (qChunkRewrite _),
     "q_token_budget" -> (qTokenBudget _),
     "q_source_overlap" -> (qSourceOverlap _),
-    "q_bpe_merges" -> (qBpeMerges _))
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_tokenize" -> (qBpeTokenize _))
 
   val oracle: Map[String, String] = Map(
     "q_sample_split" ->
@@ -725,37 +756,59 @@ object CurationQueries {
          |JOIN n na ON na.source = p.src_a
          |JOIN n nb ON nb.source = p.src_b
          |ORDER BY src_a, src_b""".stripMargin,
-    "q_bpe_merges" -> {
-      def round(r: Int): String =
-        s"""p$r AS (
-           |  SELECT y.a, y.b, sum(y.tf)::BIGINT AS cnt FROM (
-           |    SELECT tf, syms[t.i] AS a, syms[t.i + 1] AS b
-           |    FROM s${r - 1},
-           |      unnest(generate_series(1, len(syms) - 1)) AS t(i)) y
-           |  GROUP BY 1, 2),
-           |b$r AS (SELECT a, b, cnt FROM p$r
-           |  ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$r AS (
-           |  SELECT w, tf, str,
-           |    string_split(substr(str, 2, len(str) - 2), '||') AS syms
-           |  FROM (
-           |    SELECT s.w, s.tf,
-           |      replace(s.str, '|' || b.a || '||' || b.b || '|',
-           |        '|' || b.a || b.b || '|') AS str
-           |    FROM s${r - 1} s, b$r b))""".stripMargin
-      s"""WITH wf AS (
-         |  SELECT w, count(*)::BIGINT AS tf FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |s0 AS (SELECT w, tf,
-         |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS str,
-         |  string_split(w, '') AS syms FROM wf),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+    "q_bpe_merges" -> (bpeChainSql + """
          |SELECT 1 AS round, a, b, cnt, a || b AS merged FROM b1
          |UNION ALL SELECT 2, a, b, cnt, a || b FROM b2
          |UNION ALL SELECT 3, a, b, cnt, a || b FROM b3
-         |ORDER BY round""".stripMargin
-    })
+         |ORDER BY round""".stripMargin),
+    "q_bpe_tokenize" -> (bpeChainSql + """,
+         |tok AS (
+         |  SELECT w, len(syms)::BIGINT AS ntw, len(w)::BIGINT AS ncw
+         |  FROM s3),
+         |dw AS (
+         |  SELECT doc_id, lang, u.w FROM (
+         |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) u
+         |  WHERE len(u.w) > 0)
+         |SELECT dw.doc_id, dw.lang, count(*)::BIGINT AS n_words,
+         |  sum(tok.ntw)::BIGINT AS n_tokens,
+         |  sum(tok.ncw)::BIGINT AS n_chars,
+         |  sum(tok.ncw) / sum(tok.ntw) AS chars_per_token
+         |FROM dw JOIN tok USING (w)
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin))
+
+  /** The 3-round BPE training replay ([[qBpeMerges]] scaladoc): word
+    * frequencies, char-split symbol state s0, then per round r the pair
+    * counts p_r, the winner b_r, and the rewritten state s_r through
+    * the same delimiter-wrapped replace() the engine uses. (lazy:
+    * referenced by `oracle` above.) */
+  private lazy val bpeChainSql: String = {
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT y.a, y.b, sum(y.tf)::BIGINT AS cnt FROM (
+         |    SELECT tf, syms[t.i] AS a, syms[t.i + 1] AS b
+         |    FROM s${r - 1},
+         |      unnest(generate_series(1, len(syms) - 1)) AS t(i)) y
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$r AS (
+         |  SELECT w, tf, str,
+         |    string_split(substr(str, 2, len(str) - 2), '||') AS syms
+         |  FROM (
+         |    SELECT s.w, s.tf,
+         |      replace(s.str, '|' || b.a || '||' || b.b || '|',
+         |        '|' || b.a || b.b || '|') AS str
+         |    FROM s${r - 1} s, b$r b))""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT w, count(*)::BIGINT AS tf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |s0 AS (SELECT w, tf,
+       |  '|' || array_to_string(string_split(w, ''), '||') || '|' AS str,
+       |  string_split(w, '') AS syms FROM wf),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
 }

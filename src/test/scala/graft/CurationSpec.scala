@@ -433,6 +433,41 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("BPE tokenize counts match a brute-force apply of the merges") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wf = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val merges = bpeBrute(wf, 3)
+    def segment(w: String): Int = {
+      var syms = w.split("").toList
+      merges.foreach { case (_, a, b, _) => syms = bpeMergeOnce(syms, a, b) }
+      syms.length
+    }
+    val segCache = wf.map { case (w, _) => w -> segment(w) }.toMap
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1).filter(_.nonEmpty)
+      id -> (ws.length.toLong, ws.map(segCache(_).toLong).sum,
+        ws.map(_.length.toLong).sum)
+    }.toMap
+    val rows = CurationQueries.qBpeTokenize(spark, sf).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nw, nt, nc) = expect(r.getLong(0))
+      assert(r.getLong(r.fieldIndex("n_words")) == nw, s"doc ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("n_tokens")) == nt,
+        s"doc ${r.getLong(0)} tokens")
+      assert(r.getLong(r.fieldIndex("n_chars")) == nc)
+      assert(r.getDouble(r.fieldIndex("chars_per_token")) ==
+        nc.toDouble / nt)
+    }
+    // merges must actually compress: tokens < chars for some doc
+    assert(expect.values.exists(v => v._2 < v._3),
+      "no compression anywhere — merges did not apply")
+  }
+
   test("BPE greedy rewrite handles overlapping runs (aaa + (a,a) -> aa,a)") {
     import spark.implicits._
     // 'aaaa' merges to aa,aa; 'aaa' to aa,a — the overlap case the
