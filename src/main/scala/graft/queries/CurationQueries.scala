@@ -294,7 +294,11 @@ object CurationQueries {
     * row with n_chunks = 0 and NULL fractions on both engines. */
   def qChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val words = split(col("text"), " ")
+    // word array materialized as a column attribute BEFORE the chunk
+    // transform(): HOF lambdas evaluate interpreted, so slice(words, …)
+    // with the split inlined re-split the whole doc once per chunk —
+    // O(n²) string work per doc (the q_gopher_repetition lesson)
+    val words = col("__ws")
     val n = size(words)
     // full non-overlapping windows only (floor(n/W) chunks); guard the
     // n < W case — Spark's sequence DESCENDS when start > stop
@@ -303,6 +307,7 @@ object CurationQueries {
     val chunks = transform(idx, i => Hash64.md5_64(
       concat(lit("chunk|"), concat_ws(" ", slice(words, i, lit(W))))))
     val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"), col("lang"), n.cast("long").as("n_words"),
         explode_outer(chunks).as("ch"))
     val occ = ex.where(col("ch").isNotNull)
@@ -334,14 +339,18 @@ object CurationQueries {
     * first occurred elsewhere rebuild to just their tail. */
   def qChunkRewrite(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val words = split(col("text"), " ")
+    // word array as a column attribute — chunkWords runs inside
+    // interpreted transform() lambdas on BOTH the fingerprint and the
+    // reassembly side; an inlined split would re-split the doc per
+    // chunk (O(n²) per doc, the q_gopher_repetition lesson)
+    val words = col("__ws")
     val n = size(words)
     val nc = floor(n / lit(W)).cast("int")
     def chunkWords(p: Column): Column = slice(words, p * W + 1, lit(W))
     val idx = when(nc >= 1, sequence(lit(0), nc - 1))
       .otherwise(array().cast("array<int>"))
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__ws"))
     val ex = docs
       .select(col("doc_id"), explode(transform(idx, p => struct(
         p.as("p"),
@@ -430,11 +439,14 @@ object CurationQueries {
     * division of identical integers on both engines. */
   def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val W = 8
-    val words = split(col("text"), " ")
+    // word array as a column attribute before the chunk transform()
+    // (interpreted lambda — see qChunkDedup)
+    val words = col("__ws")
     val nc = floor(size(words) / lit(W)).cast("int")
     val idx = when(nc >= 1, sequence(lit(0), nc - 1))
       .otherwise(array().cast("array<int>"))
     val e = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("__ws"))
       .select(col("source"), explode(transform(idx, p =>
         Hash64.md5_64(concat(lit("chunk|"),
           concat_ws(" ", slice(words, p * W + 1, lit(W))))))).as("ch"))

@@ -79,7 +79,14 @@ object DedupQueries {
     * applied map-side, so the shingle STRINGS never enter a shuffle —
     * the distinct moves (doc_id, int64) rows only. */
   private[queries] def shingleHashes(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
+    // the word array is materialized as a column ATTRIBUTE before the
+    // shingle transform() consumes it: HOF lambdas evaluate INTERPRETED,
+    // so an expression referenced inside the lambda re-evaluates PER
+    // ELEMENT — with the split inlined, every shingle re-split the whole
+    // document (3 element_at calls × n shingles = O(n²) string work per
+    // doc; the q_gopher_repetition / q_doc_fingerprint lesson). The
+    // attribute reference makes each lambda call O(shingle).
+    val ws = col("__ws")
     // sequence(0, size-3) descends when size < 3 — guard to empty.
     val sh3 = when(size(ws) >= 3,
       transform(sequence(lit(0), size(ws) - 3), i =>
@@ -87,6 +94,7 @@ object DedupQueries {
           element_at(ws, i + 3))))
       .otherwise(array().cast("array<string>"))
     docs
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"), explode(sh3).as("sh"))
       .select(col("doc_id"), Hash64.md5_64(col("sh")).as("shh"))
       .distinct()
@@ -156,15 +164,18 @@ object DedupQueries {
     * MinHash pair graph ([[qMinhashLsh]]), every doc labeled with its
     * component's min doc_id — the table a dedup pass filters on
     * (`is_rep` keeps one doc per cluster). Propagation
-    * ([[graft.operators.Components.minLabel]], 8 rounds ≥ the dup
-    * graph's star-plus-bridges diameter) runs over edge ENDPOINTS only;
-    * the corpus's singletons join in label-free (left join + coalesce,
-    * no shuffle of non-duplicate docs into the iteration). The oracle
-    * replays the fixpoint as a recursive reachability CTE, so the gate
-    * also proves 8 rounds converged on this corpus. */
+    * ([[graft.operators.Components.minLabel]]) runs TO FIXPOINT over
+    * edge ENDPOINTS only (cap 64 ≫ any real dup graph's
+    * star-plus-bridges diameter; the round-5 fixed 8 rounds could
+    * silently under-converge past diameter 8 and wasted rounds after
+    * convergence — the gate corpus converges in ~3); the corpus's
+    * singletons join in label-free (left join + coalesce, no shuffle
+    * of non-duplicate docs into the iteration). The oracle replays the
+    * fixpoint as a recursive reachability CTE, so the gate proves the
+    * early-exit result IS the fixpoint on this corpus. */
   def qDupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = qMinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
-    val lbl = graft.operators.Components.minLabel(pairs, rounds = 8)
+    val lbl = graft.operators.Components.minLabel(pairs, rounds = 64)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val full = docs.join(lbl.select(col("id").as("doc_id"), col("component")),
         Seq("doc_id"), "left")

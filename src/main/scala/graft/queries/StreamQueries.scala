@@ -40,6 +40,55 @@ object StreamQueries {
   private def releaseStaging(parentName: String): Unit =
     activeByParent.get(parentName).decrementAndGet()
 
+  /** Run `body` (which starts and drains a streaming query) with the
+    * session's shuffle partitions — and with them the streaming STATE
+    * partition count, which unlike batch shuffles is NOT AQE-coalesced:
+    * every micro-batch launches one task and one state-store delta file
+    * per partition — set to the scale-adaptive `defaultParallelism`
+    * (= cores locally, = executor slots on a cluster) instead of the
+    * session's fixed batch value (128 here). For the bounded replay
+    * harness the state is KBs; 128 partitions × batches of per-file
+    * state-store open/commit/fsync was the dominant cost of both
+    * streaming gate queries (guide §2.2: fewer, larger partitions). A
+    * production stream sizes this to state volume instead — the knob
+    * stays `spark.sql.shuffle.partitions` at stream start either way.
+    * Restored before returning, so the batch plan downstream (and every
+    * other query) still plans with the session's configured value. */
+  private def withStreamStatePartitions[T](spark: SparkSession)
+                                          (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, spark.sparkContext.defaultParallelism)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Run the chunk-write jobs in parallel (they are independent
+    * map-only writes — guide §2.6 overlapping independent jobs), then
+    * stamp each target file with a strictly increasing mtime IN CHUNK
+    * ORDER: FileStreamSource replays by (modification time, path), and
+    * sequential writes used to encode the order in mtimes as a side
+    * effect — parallel completion order must not change the replay
+    * order, so the stamp makes it explicit. */
+  private def writeAllChunks(spark: SparkSession,
+                             jobs: Seq[(() => Unit, String)]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(jobs.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = scala.concurrent.Future.sequence(
+        jobs.map { case (j, _) => scala.concurrent.Future(j()) })
+      scala.concurrent.Await.result(fs,
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val base = System.currentTimeMillis() - jobs.size * 1000L
+    jobs.map(_._2).zipWithIndex.foreach { case (target, i) =>
+      val p = new org.apache.hadoop.fs.Path(target)
+      p.getFileSystem(hconf).setTimes(p, base + i * 1000L, -1)
+    }
+  }
+
   /** Drop the previous invocation's memory-sink view (repeated runs
     * must not accrete temp views) — but only while its owning session
     * is still alive: a stopped ladder session's catalog throws, and
@@ -83,12 +132,14 @@ object StreamQueries {
     dropPrevSink("dedup")
     val name = s"graft_dedup_stream_$seq"
     try {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStatePartitions(spark) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally releaseStaging("graft_dedup_stream")
     lastSinks.put("dedup", (spark, name))
     spark.table(name).orderBy(col("content_hash"))
@@ -148,21 +199,28 @@ object StreamQueries {
         .head.getSeq[Double](0)
       val lo = Double.NegativeInfinity +: cuts
       val hi = cuts :+ Double.PositiveInfinity
-      (1 to 4).foreach { k =>
-        val inChunk = col("ts").cast("double") >= lo(k - 1) &&
-          col("ts").cast("double") < hi(k - 1)
-        writeOneFile(ev
-          .where(inChunk && col("event_type") =!= "error")
-          .select(col("entity_id"), col("ts"),
-            col("event_id").cast("double").as("value"),
-            lit("ev").as("source")),
-          s"$root/left/c$k.parquet")
-        writeOneFile(ev
-          .where(inChunk && col("event_type") === "error")
-          .select(col("entity_id"), col("ts"), col("value"),
-            lit("err").as("source")),
-          s"$root/right/c$k.parquet")
-      }
+      // the 8 chunk writes are independent map-only jobs — run them
+      // concurrently and stamp replay order explicitly (writeAllChunks);
+      // jobs are listed in per-source chunk order so the mtime stamp
+      // reproduces the sequential write order exactly
+      val chunkJobs: Seq[(() => Unit, String)] =
+        (1 to 4).flatMap { k =>
+          val inChunk = col("ts").cast("double") >= lo(k - 1) &&
+            col("ts").cast("double") < hi(k - 1)
+          val lTgt = s"$root/left/c$k.parquet"
+          val rTgt = s"$root/right/c$k.parquet"
+          Seq(
+            (() => writeOneFile(ev
+              .where(inChunk && col("event_type") =!= "error")
+              .select(col("entity_id"), col("ts"),
+                col("event_id").cast("double").as("value"),
+                lit("ev").as("source")), lTgt), lTgt),
+            (() => writeOneFile(ev
+              .where(inChunk && col("event_type") === "error")
+              .select(col("entity_id"), col("ts"), col("value"),
+                lit("err").as("source")), rTgt), rTgt))
+        }
+      writeAllChunks(spark, chunkJobs)
       val sch = org.apache.spark.sql.Encoders.product[graft.core.SeqPoint]
         .schema
       def src(side: String) = spark.readStream.schema(sch)
@@ -172,12 +230,14 @@ object StreamQueries {
         graft.streaming.StreamOps.streamingAsOf(src("left"), src("right"))(spark)
       dropPrevSink("asof")
       val name = s"graft_asof_stream_$seq"
-      val q = enriched.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", s"$root/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStatePartitions(spark) {
+        val q = enriched.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       lastSinks.put("asof", (spark, name))
       spark.table(name).select(
         col("entity_id").cast("bigint").as("user_id"),

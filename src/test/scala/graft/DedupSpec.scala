@@ -369,4 +369,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L to 12L).forall(v => enough(v) == 0L))
   }
+
+  test("min-label fixpoint: a deep path converges under a large cap " +
+    "(early exit returns the exact fixpoint, not a truncation)") {
+    import spark.implicits._
+    // diameter-20 path driven with cap 64: the round-6 fixpoint probe
+    // must stop at convergence (not run all 64 rounds) AND the result
+    // must equal the true fixpoint — every node labeled 0
+    val path = (0L until 20L).map(i => (i, i + 1))
+    val pairs = path.toDF("a_id", "b_id")
+    val got = graft.operators.Components.minLabel(pairs, rounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 20L).toSet)
+    assert((0L to 20L).forall(v => got(v) == 0L))
+  }
 }
