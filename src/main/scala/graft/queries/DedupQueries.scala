@@ -232,7 +232,10 @@ object DedupQueries {
     // the partitioning instead of adding an exchange
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(("band" +: keyNames).map(col): _*).orderBy(col("doc_id"))
-    val ranked = buckets.withColumn("rk", row_number().over(bw))
+    // cache: both sides of the band self-join consume the ranked-bucket
+    // table — the explode + rank window otherwise run once per side
+    val ranked = graft.core.Caches.cached(
+      buckets.withColumn("rk", row_number().over(bw)))
     val joinCond = ("band" +: keyNames)
       .map(n => col(s"x.$n") === col(s"y.$n")).reduce(_ && _)
     // candidates are consumed three times (shingle pre-filter, inter
@@ -320,7 +323,11 @@ object DedupQueries {
         col("bk.bi").as("bi"), col("bk.bv").as("bv"))
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bi"), col("bv")).orderBy(col("doc_id"))
-    val ranked = bands.withColumn("rk", row_number().over(bw))
+    // both join sides read the ranked-band table — cache it so the band
+    // explode + rank window run once, not once per side (the plan
+    // otherwise duplicates the whole chain under the self-join)
+    val ranked = graft.core.Caches.cached(
+      bands.withColumn("rk", row_number().over(bw)))
     val a = ranked.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
       col("bi"), col("bv"), col("rk").as("rka"))
     val b = ranked.select(col("doc_id").as("b_id"), col("simhash").as("hb"),
@@ -386,7 +393,9 @@ object DedupQueries {
         col("bk.bi").as("bi"), col("bk.bv").as("bv"))
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bi"), col("bv")).orderBy(col("doc_id"))
-    val ranked = bands.withColumn("rk", row_number().over(bw))
+    // cache: both join sides read the ranked-band table (see simhashPairs)
+    val ranked = graft.core.Caches.cached(
+      bands.withColumn("rk", row_number().over(bw)))
     val a = ranked.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
       col("bi"), col("bv"), col("rk").as("rka"))
     val b = ranked.select(col("doc_id").as("b_id"), col("simhash").as("hb"),

@@ -88,14 +88,16 @@ object EmbedQueries {
       // score every vector against all k centroids: k is a query
       // constant, the centroid side broadcasts — the canonical
       // points×k shape, partitionable at any corpus size
+      // argmin (tie → smallest cid) as a struct-min AGGREGATE — partial
+      // mins combine map-side, so 1 row/vector enters the exchange
+      // instead of the k-row window sort the round-5 shape shuffled
+      // (guide §2.3 aggregate-before-shuffle); identical (d2, cid)
+      // lexicographic ordering, so the winner is unchanged.
       val scored = ed.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("cid"),
-          d2Col(col("xd"), col("cvec")).as("d2"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2"), col("cid"))
-      scored.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("cid").as("cell"), col("d2"))
+        .select(col("vec_id"),
+          struct(d2Col(col("xd"), col("cvec")).as("d2"), col("cid")).as("sc"))
+      scored.groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cell"), col("m.d2").as("d2"))
     }
     val c1 = assign(c0).join(ed, Seq("vec_id"))
       .select(col("cell"), posexplode(col("xd")).as(Seq("dim0", "v")))
@@ -191,14 +193,15 @@ object EmbedQueries {
     val c0 = es.where(col("vec_id") < 16)
       .select(col("sub"), col("vec_id").as("cid"), col("svec").as("cvec"))
     def assign(cents: DataFrame): DataFrame = {
+      // per-(vector, subspace) argmin as a struct-min aggregate — same
+      // map-side-combinable shape as the IVF assign (guide §2.3);
+      // identical (d2, cid) ordering, tie → smallest code.
       val scored = es.join(broadcast(cents), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("cid"),
-          d2Col(col("svec"), col("cvec")).as("d2"))
-      val w = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2"), col("cid"))
-      scored.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("vec_id"), col("sub"), col("cid").as("code"), col("d2"))
+        .select(col("vec_id"), col("sub"),
+          struct(d2Col(col("svec"), col("cvec")).as("d2"), col("cid")).as("sc"))
+      scored.groupBy(col("vec_id"), col("sub")).agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("code"),
+          col("m.d2").as("d2"))
     }
     val c1 = assign(c0).join(es, Seq("vec_id", "sub"))
       .select(col("sub"), col("code").as("cell"),

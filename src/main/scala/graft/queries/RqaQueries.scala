@@ -31,10 +31,12 @@ object RqaQueries {
   def qRqaLengths(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pts = Tables.events(spark, dir)
+    // cached: both self-join sides AND the nM count consume pts — the
+    // events scan + rank window otherwise run three times
+    val pts = graft.core.Caches.cached(Tables.events(spark, dir)
       .select(col("user_id"), round(col("value") * 100).as("b"),
         row_number().over(w).as("rn"))
-      .where(col("rn") <= N)
+      .where(col("rn") <= N))
     val a = pts.select(col("user_id"), col("rn").as("i"), col("b").as("bi"))
     val b = pts.select(col("user_id").as("u2"), col("rn").as("j"),
       col("b").as("bj"))
@@ -59,8 +61,12 @@ object RqaQueries {
         .where(col("len") >= MinLen)
     }
 
-    val diag = runLengths(col("j") - col("i"), "diag")
-      .where(col("len") <= N - 1) // reference histogram bound (OOB quirk)
+    // cached: the diagonal run-length table feeds both the stats agg
+    // and the length histogram — the window + agg chain otherwise runs
+    // twice (runs are ≤ N·|entities| rows, tiny at any scale)
+    val diag = graft.core.Caches.cached(
+      runLengths(col("j") - col("i"), "diag")
+        .where(col("len") <= N - 1)) // reference histogram bound (OOB quirk)
     val vert = runLengths(col("j"), "vert")
 
     val diagStats = diag.groupBy(col("user_id")).agg(
@@ -69,9 +75,12 @@ object RqaQueries {
       max(col("len")).as("diag_len_max"))
     val counts = diag.groupBy(col("user_id"), col("len"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("user_id"))
-      .agg(sum(col("cnt")).as("total"))
-    val ent = counts.join(totals, Seq("user_id"))
+    // per-user total as a window over the histogram (one exchange; the
+    // round-5 shape aggregated totals separately and joined them back —
+    // two more exchanges and a second consumption of `counts`)
+    val ent = counts
+      .withColumn("total",
+        sum(col("cnt")).over(Window.partitionBy(col("user_id"))))
       .select(col("user_id"), Stats.entropyTerm(
         col("cnt").cast("double"), col("total").cast("double")).as("t"))
       .groupBy(col("user_id"))

@@ -215,16 +215,22 @@ object SeqQueries {
   def qRqa(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val pts = Tables.events(spark, dir)
+    // cached: both self-join sides and the nPts agg consume pts — the
+    // events scan + rank window otherwise run three times
+    val pts = graft.core.Caches.cached(Tables.events(spark, dir)
       .select(col("user_id"), b100(col("value")).as("b"),
         row_number().over(w).as("rn"))
-      .where(col("rn") <= 64)
+      .where(col("rn") <= 64))
     val a = pts.select(col("user_id"), col("rn").as("i"), col("b").as("bi"))
     val b = pts.select(col("user_id").as("u2"), col("rn").as("j"),
       col("b").as("bj"))
-    val pairs = a.join(b, col("user_id") === col("u2") && col("i") < col("j"))
-      .where(abs(col("bi") - col("bj")) <= 2000)
-      .select(col("user_id"), col("i"), col("j"))
+    // cached: the recurrence pair table feeds the neighbor semi-join
+    // (both sides) and the nPairs agg — the bounded theta self-join
+    // otherwise runs three times (≤ 64 rows/entity, a query constant)
+    val pairs = graft.core.Caches.cached(
+      a.join(b, col("user_id") === col("u2") && col("i") < col("j"))
+        .where(abs(col("bi") - col("bj")) <= 2000)
+        .select(col("user_id"), col("i"), col("j")))
     val p2 = pairs.select(col("user_id").as("u3"), col("i").as("i2"),
       col("j").as("j2"))
     val connected = pairs.join(p2,
@@ -283,11 +289,13 @@ object SeqQueries {
     * scale), so the small side broadcasts and the pair count is
     * entities², an analysis-tier output, not a data-scale one. */
   def qGeoPairs(spark: SparkSession, dir: String): DataFrame = {
-    val anchors = Tables.events(spark, dir)
+    // cached: both pair sides read the anchor table — the events
+    // min-agg otherwise runs once per side (1 row/entity, tiny)
+    val anchors = graft.core.Caches.cached(Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(min(col("event_id")).as("eid"))
       .select(col("user_id"),
         ((col("eid") * 37 % 17000).cast("double") / 100.0 - 85.0).as("lat"),
-        ((col("eid") * 73 % 36000).cast("double") / 100.0 - 180.0).as("lon"))
+        ((col("eid") * 73 % 36000).cast("double") / 100.0 - 180.0).as("lon")))
     val a = anchors.select(col("user_id").as("u1"), col("lat").as("lat1"),
       col("lon").as("lon1"))
     val b = anchors.select(col("user_id").as("u2"), col("lat").as("lat2"),
