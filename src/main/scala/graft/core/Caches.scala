@@ -46,6 +46,27 @@ object Caches {
     c
   }
 
+  /** [[cached]] with the partition count first coalesced to the
+    * session's default parallelism (narrow — no extra exchange).
+    *
+    * Why: cached plans are pinned to their physical partitioning when
+    * `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` is
+    * false (the engine's default posture — the feature pipeline's
+    * stage-1 cache must keep its entity layout for the as-of merge), so
+    * a small descriptor table cached off a 128-partition exchange makes
+    * EVERY consumer stage schedule 128 near-empty tasks. Coalescing to
+    * `defaultParallelism` (= cores locally, executor slots on a
+    * cluster) keeps one task per slot — scale-adaptive, not a tuned
+    * constant.
+    *
+    * Use ONLY where no consumer reuses the cached frame's hash/range
+    * partitioning (a coalesce destroys it); tables whose partitioning
+    * feeds a downstream join/window exchange-free stay on [[cached]]. */
+  def cachedCompact(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    cached(df.coalesce(math.max(1, slots)))
+  }
+
   /** `.persist(level)` + register for the next same-thread [[drain]]. */
   def persisted(df: DataFrame, level: StorageLevel): DataFrame = {
     val c = df.persist(level)

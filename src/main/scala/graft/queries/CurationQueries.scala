@@ -169,8 +169,10 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"), col("ws"), col("bg"),
         array_sort(col("ws")).as("wss"), array_sort(col("bg")).as("bgs"))
       .select(col("doc_id"), col("lang"), size(col("ws")).as("n"),
-        aggregate(col("ws"), lit(0), (a, x) => a + length(x))
-          .as("sum_chars"),
+        // Σ length(w) == length of the separator-free concat — same
+        // integer, but ArrayJoin+Length are codegen'd while the
+        // aggregate() fold ran interpreted per element
+        length(array_join(col("ws"), "")).as("sum_chars"),
         size(array_distinct(col("ws"))).as("ndw"), top(col("wss")).as("tw"),
         size(array_distinct(col("bg"))).as("ndb"), top(col("bgs")).as("tb"))
       .select(col("doc_id"), col("lang"), col("n").cast("long").as("n_words"),

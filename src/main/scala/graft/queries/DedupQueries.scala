@@ -155,7 +155,14 @@ object DedupQueries {
     * (per-bucket occupancy capped — see [[BucketCap]]), then exact
     * Jaccard verification on candidates only. Stages come from the
     * materialized store ([[minhashStore]]). */
-  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashVerified(spark, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** The verified pair table WITHOUT the gate's final global sort —
+    * q_dup_components consumes this (its edges don't need an order, and
+    * the sort would otherwise cost a sample job + range exchange inside
+    * the edge checkpoint). */
+  private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val (sh, sig) = minhashStore(spark, dir)
     minhashPairsFrom(sh, sig, BucketCap)
   }
@@ -174,7 +181,11 @@ object DedupQueries {
     * fixpoint as a recursive reachability CTE, so the gate proves the
     * early-exit result IS the fixpoint on this corpus. */
   def qDupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = qMinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    // cached: minLabel's edge union reads the pair table TWICE (both
+    // edge directions) — without the cache the whole verify chain
+    // (candidate join + Jaccard verify) executed once per direction
+    val pairs = graft.core.Caches.cachedCompact(
+      minhashVerified(spark, dir).select(col("a_id"), col("b_id")))
     val lbl = graft.operators.Components.minLabel(pairs, rounds = 64)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val full = docs.join(lbl.select(col("id").as("doc_id"), col("component")),
@@ -192,8 +203,9 @@ object DedupQueries {
     * corpus — DedupSpec drives degenerate corpora through both blowup
     * controls with this. */
   def minhashPairs(docs: DataFrame, cap: Int = BucketCap): DataFrame = {
-    val sh = graft.core.Caches.cached(shingleHashes(docs))
+    val sh = graft.core.Caches.cachedCompact(shingleHashes(docs))
     minhashPairsFrom(sh, signatures(sh), cap)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** The MinHash+LSH kernel over prepared stage tables:
@@ -209,7 +221,7 @@ object DedupQueries {
       .partitionBy(sigCols: _*)
     // signature table is 1 row/doc (tiny at any scale) but the collapse
     // window, the band self-join and the rep links each consume it
-    val clustered = graft.core.Caches.cached(sig
+    val clustered = graft.core.Caches.cachedCompact(sig
       .withColumn("crk", row_number().over(cw))
       .withColumn("rep", min(col("doc_id")).over(repw)))
     // level 1: identical-signature members link to their representative
@@ -240,7 +252,7 @@ object DedupQueries {
       .map(n => col(s"x.$n") === col(s"y.$n")).reduce(_ && _)
     // candidates are consumed three times (shingle pre-filter, inter
     // count, final assembly) — cache the small pair set, not the data
-    val cand = graft.core.Caches.cached(ranked.as("x").join(ranked.as("y"),
+    val cand = graft.core.Caches.cachedCompact(ranked.as("x").join(ranked.as("y"),
       joinCond && cappedPair(col("x.rk"), col("y.rk"), cap))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .union(links)
@@ -256,7 +268,7 @@ object DedupQueries {
     // cached (spills to disk if large): both sides of the inter join
     // consume it, and its size is bounded by the shingles of candidate
     // docs — data those joins must read anyway
-    val shc = graft.core.Caches.cached(
+    val shc = graft.core.Caches.cachedCompact(
       sh.join(involved, Seq("doc_id"), "left_semi"))
     val inter = cand
       .join(shc.select(col("doc_id").as("a_id"), col("shh")), Seq("a_id"))
@@ -275,7 +287,6 @@ object DedupQueries {
           (col("nsa") + col("nsb") - coalesce(col("inter"), lit(0L))))
           .as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** SimHash (16-bit, md5-derived bits): per-doc fingerprint plus
@@ -302,7 +313,7 @@ object DedupQueries {
       .partitionBy(col("simhash")).orderBy(col("doc_id"))
     val repw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("simhash"))
-    val clustered = graft.core.Caches.cached(simhashFingerprints(docs)
+    val clustered = graft.core.Caches.cachedCompact(simhashFingerprints(docs)
       .withColumn("crk", row_number().over(cw))
       .withColumn("rep", min(col("doc_id")).over(repw)))
     // level 1: identical-fingerprint members link to their rep (Hamming 0)
@@ -375,7 +386,7 @@ object DedupQueries {
       .partitionBy(col("simhash")).orderBy(col("doc_id"))
     val repw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("simhash"))
-    val clustered = graft.core.Caches.cached(simhash64Fingerprints(docs)
+    val clustered = graft.core.Caches.cachedCompact(simhash64Fingerprints(docs)
       .withColumn("crk", row_number().over(cw))
       .withColumn("rep", min(col("doc_id")).over(repw)))
     val links = clustered.where(col("crk") > 1)
@@ -514,7 +525,7 @@ object DedupQueries {
       .partitionBy(col("embedding")).orderBy(col("vec_id"))
     val repw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("embedding"))
-    val clustered = graft.core.Caches.cached(emb
+    val clustered = graft.core.Caches.cachedCompact(emb
       .select(col("vec_id"), col("embedding"))
       .withColumn("crk", row_number().over(cw))
       .withColumn("rep", min(col("vec_id")).over(repw)))

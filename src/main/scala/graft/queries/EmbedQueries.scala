@@ -109,7 +109,7 @@ object EmbedQueries {
       .select(col("cell").as("cid"), col("cvec"))
     // feeds the final assignment AND the probe ranking; registered so
     // the driver's post-query drain unpersists it (no session lifetime)
-    val c1c = graft.core.Caches.cached(c1)
+    val c1c = graft.core.Caches.cachedCompact(c1)
     (ed, c1c, assign(c1c))
   }
 
@@ -212,7 +212,7 @@ object EmbedQueries {
       .agg(transform(array_sort(collect_list(struct(col("dim0"), col("cv")))),
         s => s.getField("cv")).as("cvec"))
       .select(col("sub"), col("cell").as("cid"), col("cvec"))
-    val c1c = graft.core.Caches.cached(c1)
+    val c1c = graft.core.Caches.cachedCompact(c1)
     (es, c1c, assign(c1c))
   }
 

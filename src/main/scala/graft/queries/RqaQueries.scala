@@ -64,7 +64,7 @@ object RqaQueries {
     // cached: the diagonal run-length table feeds both the stats agg
     // and the length histogram — the window + agg chain otherwise runs
     // twice (runs are ≤ N·|entities| rows, tiny at any scale)
-    val diag = graft.core.Caches.cached(
+    val diag = graft.core.Caches.cachedCompact(
       runLengths(col("j") - col("i"), "diag")
         .where(col("len") <= N - 1)) // reference histogram bound (OOB quirk)
     val vert = runLengths(col("j"), "vert")

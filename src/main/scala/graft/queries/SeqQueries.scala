@@ -291,7 +291,7 @@ object SeqQueries {
   def qGeoPairs(spark: SparkSession, dir: String): DataFrame = {
     // cached: both pair sides read the anchor table — the events
     // min-agg otherwise runs once per side (1 row/entity, tiny)
-    val anchors = graft.core.Caches.cached(Tables.events(spark, dir)
+    val anchors = graft.core.Caches.cachedCompact(Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(min(col("event_id")).as("eid"))
       .select(col("user_id"),
         ((col("eid") * 37 % 17000).cast("double") / 100.0 - 85.0).as("lat"),

@@ -223,7 +223,7 @@ object TextQueries {
     // cache: three consumers (counts, hits, worst) would otherwise
     // re-run the per-row polyHash fingerprinting — the dominant cost —
     // once each (the minhash signature-table lesson); ~30 rows/doc
-    val fp = graft.core.Caches.cached(Tables.documents(spark, dir)
+    val fp = graft.core.Caches.cachedCompact(Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("tk"))
       .select(col("doc_id"), kgOf(col("tk")).as("kg"))
       .select(col("doc_id"),
