@@ -53,12 +53,16 @@ object Components {
     * checkpointed blocks are executor-local (MEMORY_AND_DISK), freed
     * when the returned frame is garbage-collected. */
   def minLabel(pairs: DataFrame, rounds: Int = 8): DataFrame = {
+    // LAZY checkpoints throughout the loop: the fixpoint probe (one
+    // tiny decimal sum per round) is the materializing action, so each
+    // round costs ONE job — an eager checkpoint would spend a second
+    // job per round just to truncate lineage.
     val edges = pairs.select(col("a_id").as("s"), col("b_id").as("d"))
       .union(pairs.select(col("b_id").as("s"), col("a_id").as("d")))
-      .localCheckpoint(true) // consumed every round — compute once
+      .localCheckpoint(false) // consumed every round — compute once
     val nodes = edges.select(col("s").as("id")).distinct()
     var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // fixpoint probe: labels only ever decrease, so an unchanged exact
     // label sum ⇔ no label changed ⇔ converged. Decimal(38,0) keeps the
     // sum exact at any node count / id magnitude.
@@ -74,7 +78,7 @@ object Components {
         .select(col("d").as("id"), col("component"))
       labels = labels.union(prop)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = labelSum(labels)
       converged = cur.compareTo(prev) == 0
       prev = cur

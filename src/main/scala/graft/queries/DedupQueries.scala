@@ -263,8 +263,10 @@ object DedupQueries {
     // actually appear in a candidate pair (AQE broadcasts the id list
     // when small), instead of two full-store joins + a count agg.
     val na = clustered.select(col("doc_id"), col("nsh").as("n"))
-    val involved = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    // one cache scan + explode instead of a two-scan union
+    val involved = cand
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
     // cached (spills to disk if large): both sides of the inter join
     // consume it, and its size is bounded by the shingles of candidate
     // docs — data those joins must read anyway

@@ -233,11 +233,15 @@ object TextQueries {
     val eval_ = fp.where(col("doc_id") >= 450)
       .select(col("doc_id").as("eval_id"), col("fp"))
     val nFp = eval_.groupBy(col("eval_id")).agg(count(lit(1)).as("n_fp"))
-    val hits = eval_.join(train, Seq("fp"))
+    // cache the contaminated-pair join: the hits agg and the worst-
+    // offender ranking both consume it (it ran once per consumer)
+    val shared = graft.core.Caches.cachedCompact(
+      eval_.join(train, Seq("fp")))
+    val hits = shared
       .groupBy(col("eval_id"))
       .agg(countDistinct(col("fp")).as("n_shared_fp"),
         countDistinct(col("train_id")).as("n_train_docs"))
-    val worst = eval_.join(train, Seq("fp"))
+    val worst = shared
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("pair_fps"))
       .withColumn("rk", row_number().over(
