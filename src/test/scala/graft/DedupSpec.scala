@@ -370,6 +370,31 @@ class DedupSpec extends SparkSpec {
     assert((0L to 12L).forall(v => enough(v) == 0L))
   }
 
+  test("dedup store staging is content-keyed: mutating the input dir " +
+    "in-process serves fresh signatures, not the stale store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_store_key").toString
+    def write(texts: Seq[String]): Unit =
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    write(Seq("alpha beta gamma delta", "alpha beta gamma delta"))
+    val (sh1, _) = graft.queries.DedupQueries.minhashStore(spark, dir)
+    val n1 = sh1.count()
+    // mutate the corpus under the same dir (new lengths/mtimes)
+    write(Seq("one two three four five six", "seven eight nine ten",
+      "eleven twelve thirteen fourteen"))
+    val (sh2, _) = graft.queries.DedupQueries.minhashStore(spark, dir)
+    assert(sh2.count() != n1,
+      "store served stale shingles after the input dir changed")
+    // unchanged content re-serves the same staged store (memo hit)
+    val (sh3, _) = graft.queries.DedupQueries.minhashStore(spark, dir)
+    assert(sh3.count() == sh2.count())
+  }
+
   test("min-label fixpoint: a deep path converges under a large cap " +
     "(early exit returns the exact fixpoint, not a truncation)") {
     import spark.implicits._
