@@ -206,13 +206,11 @@ object CurationQueries {
     * exact BIGINT sum — order-independent — and the one final division
     * is deterministic. */
   def qUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the vocab agg and the per-doc scoring join both consume
-    // tf (the explode + partial agg otherwise ran once per consumer)
-    val tf = graft.core.Caches.cachedCompact(Tables.documents(spark, dir)
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("lang"), col("w"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
     val tot = vocab.agg(sum(col("c")).as("t"))
     val scored = vocab.join(broadcast(tot), lit(true))

@@ -31,12 +31,10 @@ object RqaQueries {
   def qRqaLengths(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    // cached: both self-join sides AND the nM count consume pts — the
-    // events scan + rank window otherwise run three times
-    val pts = graft.core.Caches.cached(Tables.events(spark, dir)
+    val pts = Tables.events(spark, dir)
       .select(col("user_id"), round(col("value") * 100).as("b"),
         row_number().over(w).as("rn"))
-      .where(col("rn") <= N))
+      .where(col("rn") <= N)
     val a = pts.select(col("user_id"), col("rn").as("i"), col("b").as("bi"))
     val b = pts.select(col("user_id").as("u2"), col("rn").as("j"),
       col("b").as("bj"))
