@@ -290,7 +290,7 @@ object DedupQueries {
       .partitionBy(("band" +: keyNames).map(col): _*).orderBy(col("doc_id"))
     // cache: both sides of the band self-join consume the ranked-bucket
     // table — the explode + rank window otherwise run once per side
-    val ranked = graft.core.Caches.cached(
+    val ranked = graft.core.Caches.cachedCompact(
       buckets.withColumn("rk", row_number().over(bw)))
     val joinCond = ("band" +: keyNames)
       .map(n => col(s"x.$n") === col(s"y.$n")).reduce(_ && _)
@@ -383,7 +383,7 @@ object DedupQueries {
     // both join sides read the ranked-band table — cache it so the band
     // explode + rank window run once, not once per side (the plan
     // otherwise duplicates the whole chain under the self-join)
-    val ranked = graft.core.Caches.cached(
+    val ranked = graft.core.Caches.cachedCompact(
       bands.withColumn("rk", row_number().over(bw)))
     val a = ranked.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
       col("bi"), col("bv"), col("rk").as("rka"))
@@ -451,7 +451,7 @@ object DedupQueries {
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bi"), col("bv")).orderBy(col("doc_id"))
     // cache: both join sides read the ranked-band table (see simhashPairs)
-    val ranked = graft.core.Caches.cached(
+    val ranked = graft.core.Caches.cachedCompact(
       bands.withColumn("rk", row_number().over(bw)))
     val a = ranked.select(col("doc_id").as("a_id"), col("simhash").as("ha"),
       col("bi"), col("bv"), col("rk").as("rka"))
@@ -593,7 +593,7 @@ object DedupQueries {
       .partitionBy(col("t"), col("b")).orderBy(col("vec_id"))
     // both join sides read the ranked-bucket table — cache it so the
     // 16-way explode + rank window run once, not once per side
-    val ranked = graft.core.Caches.cached(
+    val ranked = graft.core.Caches.cachedCompact(
       bd.withColumn("rk", row_number().over(bw)))
     val a = ranked.select(col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"),
