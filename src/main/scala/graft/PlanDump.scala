@@ -26,7 +26,7 @@ object PlanDump {
         org.apache.spark.sql.execution.FormattedMode))
     }
 
-    val points = spark.read.parquet("/tmp/graft_bench_tokens_10000")
+    val points = spark.read.parquet("/tmp/graft_bench_tokens_40000")
       .select(col("doc_id").as("entity_id"),
         posexplode(col("tokens")).as(Seq("pos", "tok")))
       .select(col("entity_id"), col("pos").cast("long").as("ts"),

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * ts, so no feature ever sees a point later than the row it lands on.
   *
   * Scale notes (SURVEY.md §7.5): the per-entity layout shuffle happens
-  * once (`repartitionByRange(entity, ts)`); window features use the
+  * once (hash `repartition(entity)` + in-partition (entity, ts) sort —
+  * the layout the sessionize window consumes exchange-free); window
+  * features use the
   * bucket-decomposed equi-groupBy (map-side combinable, no range-join
   * rescans); the as-of join is the union+running-last trick (one shuffle,
   * no join explosion); AQE splits skewed entities.
@@ -200,16 +202,28 @@ object FeaturePipeline {
       case None => df
     }
 
-    // Stage 1: layout + sessionize. ONE range shuffle on (entity, ts);
-    // everything downstream is co-partitioned by entity.
+    // Stage 1: layout + sessionize. ONE HASH shuffle on the entity:
+    // the sessionize window requires ClusteredDistribution(entity), so
+    // hash(entity) partitioning is reused exchange-free, and the
+    // within-partition sort on (entity, ts, ties) satisfies the
+    // window's required ordering. (Rounds 1–5 range-partitioned on
+    // (entity, ts) first — but RangePartitioning(entity, ts) does NOT
+    // satisfy the window's entity clustering (an entity can straddle a
+    // range boundary), so Catalyst inserted a second full exchange
+    // right after it: the physical plan shuffled every point TWICE
+    // before the first window. Plan evidence:
+    // plans/r06/flagship_s1_{before,after}.txt. Skew is unchanged — a
+    // hot entity always lands in one window partition either way —
+    // and guide §2.4 is the motivation: two operations keyed the same
+    // way share one exchange.)
     val laidPlan = stage("s1_sessionized") {
       val base =
         if (numRangePartitions > 0)
-          points.repartitionByRange(numRangePartitions,
-            col(entityCol), col(tsCol))
-        else points.repartitionByRange(col(entityCol), col(tsCol))
+          points.repartition(numRangePartitions, col(entityCol))
+        else points.repartition(col(entityCol))
       Sessionize.withSessionId(
-        base.sortWithinPartitions(col(entityCol), col(tsCol)),
+        base.sortWithinPartitions(
+          col(entityCol) +: col(tsCol) +: cfg.tieCols.map(col): _*),
         entityCol, tsCol, cfg.sessionGap, tieCols = cfg.tieCols)
     }
     // Stage 1 feeds THREE consumers (window features, grid bounds, the

@@ -45,7 +45,7 @@ class ShuffleTallySpec extends SparkSpec {
     "q_simhash64" -> 0.15,
     "q_geo_pairs" -> 0.17,
     "q_rqa_lengths" -> 0.33,
-    "q_feature_pipeline" -> 0.69,
+    "q_feature_pipeline" -> 0.51,  // r6: stage-1 single hash exchange
     // round-4 hole: the resume query drifted +23% r3→r4 precisely
     // because it was NOT in this envelope set (VERDICT r4 "what's
     // wrong" #1) — pinned now at the steady-state (root staged once,
